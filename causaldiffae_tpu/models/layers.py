@@ -1,0 +1,212 @@
+"""NN primitives for the UNet denoiser (flax.linen, NHWC layout).
+
+TPU-native rebuild of reference `improved_diffusion/nn.py` primitives and the
+`unet.py` building blocks (Upsample/Downsample/ResBlock). Design notes:
+
+- NHWC activation layout (TPU conv native layout); the reference is NCHW.
+- Convs use explicit ((1,1),(1,1)) padding to match torch's k3/p1 geometry
+  at every stride.
+- GroupNorm always computes in float32 and casts back (reference
+  `GroupNorm32`, `nn.py:435-437`) - essential for bf16 torso stability.
+- Zero-initialised output convs (reference `zero_module`, `nn.py:516-522`).
+- Gradient checkpointing is `jax.checkpoint` at the UNet level (replacing
+  the hand-rolled autograd.Function at `nn.py:572-618`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# torch Conv/Linear default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+# Matching it keeps training dynamics comparable to the reference.
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+zeros_init = nn.initializers.zeros
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch resets biases to U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings (reference `nn.py:551-569`).
+
+    Always computed in float32; timesteps may be fractional (rescaled).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class Conv3x3(nn.Module):
+    """3x3 conv, torch p1 geometry, optional stride."""
+
+    features: int
+    stride: int = 1
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1] * 9
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            kernel_init=zeros_init if self.zero_init else torch_kernel_init,
+            bias_init=zeros_init if self.zero_init else torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv1x1(nn.Module):
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (1, 1),
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(x.shape[-1]),
+            dtype=self.dtype,
+        )(x)
+
+
+class DenseT(nn.Module):
+    """Dense with torch-style default init."""
+
+    features: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features,
+            kernel_init=zeros_init if self.zero_init else torch_kernel_init,
+            bias_init=zeros_init if self.zero_init else torch_bias_init(x.shape[-1]),
+            dtype=self.dtype,
+        )(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32, output cast to input dtype.
+
+    Reference `nn.py:435-437,541-548`. The fused Pallas GN+SiLU(+scale-shift)
+    kernel in `ops/` replaces this on the hot path when enabled.
+    """
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(orig_dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 upsample + optional 3x3 conv (reference `unet.py:51-79`)."""
+
+    channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        if self.use_conv:
+            x = Conv3x3(self.channels, dtype=self.dtype)(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv or 2x2 average pool (reference `unet.py:82-105`)."""
+
+    channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return Conv3x3(self.channels, stride=2, dtype=self.dtype)(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """Residual block with scale-shift GroupNorm timestep conditioning.
+
+    Reference `unet.py:108-198`; the scale-shift path (`:190-194`) applies
+    ``GN(h) * (1 + scale) + shift`` with (scale, shift) from the embedding.
+    """
+
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    use_scale_shift_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, train: bool = False):
+        out_ch = self.out_channels or self.channels
+
+        h = GroupNorm32()(x)
+        h = silu(h)
+        h = Conv3x3(out_ch, dtype=self.dtype)(h)
+
+        emb_out = DenseT(
+            2 * out_ch if self.use_scale_shift_norm else out_ch, dtype=self.dtype
+        )(silu(emb)).astype(h.dtype)
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32()(h) * (1 + scale) + shift
+            h = silu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = Conv3x3(out_ch, zero_init=True, dtype=self.dtype)(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32()(h)
+            h = silu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = Conv3x3(out_ch, zero_init=True, dtype=self.dtype)(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = Conv3x3(out_ch, dtype=self.dtype)(x)
+        else:
+            skip = Conv1x1(out_ch, dtype=self.dtype)(x)
+        return skip + h
