@@ -1,0 +1,74 @@
+"""Spatial self-attention block for the UNet.
+
+Rebuild of reference `unet.py:201-276` (AttentionBlock + QKVAttention). The
+head layout matches the reference exactly: the QKV projection's output
+channels are grouped head-major with [q, k, v] within each head (the
+reference reshapes (B, 3C, T) -> (B*H, 3C/H, T) then splits), so torch
+checkpoints port with a pure transpose. Q and K are pre-scaled by
+1/sqrt(sqrt(d)) for low-precision stability (`unet.py:248-251`) and softmax
+runs in float32.
+
+Token counts here are tiny (<= (image_size/8)^2 <= 256 - SURVEY §5.7), so a
+single fused kernel covers every config; `use_pallas=True` routes the
+softmax(QK^T)V core through the Pallas fused kernel in
+`ops/attention_pallas.py`, the default is the XLA einsum path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import DenseT, GroupNorm32
+
+Dtype = Any
+
+
+def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Attention over tokens given fused head-major QKV.
+
+    qkv: [B, T, 3C] with channels laid out [head0: q k v | head1: q k v ...].
+    Returns [B, T, C]. Math identical to reference `QKVAttention.forward`
+    (`unet.py:239-253`).
+    """
+    B, T, threeC = qkv.shape
+    C = threeC // 3
+    d = C // num_heads
+    qkv = qkv.reshape(B, T, num_heads, 3 * d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, T, H, d]
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, dtype=jnp.float32))).astype(qkv.dtype)
+    weight = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
+    weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(weight.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", weight, v)
+    return out.reshape(B, T, C)
+
+
+class AttentionBlock(nn.Module):
+    """Pre-norm residual attention over flattened spatial positions.
+
+    Reference `unet.py:201-231`: GN -> 1x1 QKV -> attention -> zero-init
+    1x1 proj -> residual.
+    """
+
+    channels: int
+    num_heads: int = 1
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        tokens = x.reshape(B, H * W, C)
+        normed = GroupNorm32()(tokens)
+        qkv = DenseT(3 * C, dtype=self.dtype)(normed)
+        if self.use_pallas:
+            from ..ops.attention_pallas import fused_qkv_attention
+
+            h = fused_qkv_attention(qkv, self.num_heads)
+        else:
+            h = qkv_attention(qkv, self.num_heads)
+        h = DenseT(C, zero_init=True, dtype=self.dtype)(h)
+        return (tokens + h).reshape(B, H, W, C)
