@@ -378,7 +378,11 @@ class GaussianDiffusion:
             # sum_i KL(N(z_i, 1) || N(y_i, 1)) summed over block dims
             kld = kld + kl_normal(zb, ones, y_prior_mean, ones).sum(axis=1)
         if mask is not None:
-            return jnp.sum(kld * mask) / jnp.sum(mask)
+            # NB: denominator guarded against an all-dropped batch - the
+            # reference divides by sum(mask) unguarded (gaussian_diffusion.py:764)
+            # and would NaN-poison the step if every sample were masked out
+            # (probability 2^-B; real with small microbatches).
+            return jnp.sum(kld * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         return kld
 
     def training_losses(

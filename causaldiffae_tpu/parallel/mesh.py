@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's entire distributed layer (`dist_util.py`: MPI
+rendezvous, gloo process groups, byte-broadcast of checkpoints; DDP wrapper
+`train_util.py:111-118`) with the JAX single-controller model: one
+``Mesh(('data',))`` over all chips, params replicated, batches sharded on
+'data'. Jitting the train step with these shardings makes XLA insert the
+gradient all-reduce over ICI; nothing in user code ever names a collective
+(SURVEY §5.8). A 'model' axis is reserved for future tensor parallelism -
+the UNets here (<60M params) don't need it, but the mesh API allows it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "host_local_batch_size"]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, model_parallel: int = 1) -> Mesh:
+    """1-D data mesh (optionally folding a model axis for future TP)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if model_parallel > 1:
+        assert n % model_parallel == 0
+        arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh, sharded on the leading axis."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def host_local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """Per-host slice of the global batch (multi-host data loading)."""
+    return global_batch // jax.process_count()

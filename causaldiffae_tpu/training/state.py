@@ -1,0 +1,89 @@
+"""Replicated training state pytree.
+
+Replaces the reference TrainLoop's mutable Python attributes
+(`train_util.py:30-126`: model params, AdamW state, per-rate EMA param
+lists, step counter, fp16 master params) with one immutable pytree that a
+jitted step consumes and returns (donated, so updates are in-place on
+device). bf16 compute + fp32 params makes the whole fp16_util.py loss-
+scaling machinery unnecessary (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from .samplers import init_sampler_state
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray                      # scalar int32
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Dict[str, Any]             # ema-rate string -> params tree
+    sampler_state: Optional[Dict[str, jnp.ndarray]]
+    base_rng: jax.Array
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """AdamW with the reference's linear LR anneal (`train_util.py:305-311`)."""
+    if cfg.lr_anneal_steps:
+        def lr_fn(step):
+            frac_done = step / cfg.lr_anneal_steps
+            return cfg.lr * (1.0 - frac_done)
+    else:
+        lr_fn = cfg.lr
+    return optax.adamw(lr_fn, b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay)
+
+
+def ema_rates(cfg) -> list:
+    return [r for r in str(cfg.ema_rate).split(",") if r]
+
+
+def create_train_state(cfg, model, tx: optax.GradientTransformation, rng: jax.Array,
+                       sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
+    """Initialize params/EMA/optimizer from one example batch."""
+    init_rngs = {
+        "params": rng,
+        "reparam": jax.random.fold_in(rng, 1),
+        "cfmask": jax.random.fold_in(rng, 2),
+        "dropout": jax.random.fold_in(rng, 3),
+    }
+    x = sample_batch["image"]
+    t = jnp.zeros((x.shape[0],), dtype=jnp.int32)
+    kwargs = {}
+    if cfg.class_cond:
+        kwargs["y"] = sample_batch["y"]
+    if cfg.context_cond:
+        kwargs["c"] = sample_batch["c"]
+    if cfg.rep_cond:
+        kwargs["x_start"] = x
+    variables = model.init(init_rngs, x, t, train=True, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params={r: jax.tree_util.tree_map(jnp.copy, params) for r in ema_rates(cfg)},
+        sampler_state=init_sampler_state(cfg.schedule_sampler, cfg.diffusion_steps),
+        base_rng=jax.random.fold_in(rng, 7),
+    )
+
+
+def kl_weight_for_step(step: jnp.ndarray, total_steps: int,
+                       initial: float = 0.0, final: float = 1.0) -> jnp.ndarray:
+    """Linear KL-weight anneal (reference `train_util.py:174-186,212-214`).
+
+    The reference computes schedule(step) *after* incrementing, so the loss
+    at step s uses weight s/(total-1), clamped to [initial, final].
+    """
+    t = step.astype(jnp.float32) / (total_steps - 1)
+    return jnp.clip((1.0 - t) * initial + t * final, min(initial, final), max(initial, final))

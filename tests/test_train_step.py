@@ -1,0 +1,128 @@
+"""Train-step smoke/behavior tests, single-device and 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from causaldiffae_tpu.config import Config, create_diffusion, create_model
+from causaldiffae_tpu.data import synthetic_iterator
+from causaldiffae_tpu.parallel import data_sharding, make_mesh, replicated, shard_batch
+from causaldiffae_tpu.training import (
+    create_train_state,
+    kl_weight_for_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        name="tiny", dataset="morphomnist", image_size=28, in_channels=1,
+        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
+        attention_resolutions="14", class_cond=True, rep_cond=True,
+        causal_modeling=True, masking=True, diffusion_steps=100,
+        batch_size=8, kl_anneal_steps=100,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def setup(cfg):
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+    tx = make_optimizer(cfg)
+    it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=64)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step_fn = make_train_step(cfg, model, diffusion, tx)
+    return model, diffusion, state, step_fn, it
+
+
+def test_train_step_runs_and_descends():
+    cfg = tiny_cfg()
+    _, _, state, step_fn, it = setup(cfg)
+    step_jit = jax.jit(step_fn, donate_argnums=0)
+    losses = []
+    for i in range(8):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = step_jit(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert int(state.step) == 8
+    # eps-MSE on near-noise targets should fall quickly from ~1
+    assert losses[-1] < losses[0] * 1.5  # noisy but must not blow up
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_kl_weight_anneal_values():
+    assert float(kl_weight_for_step(jnp.array(0), 100)) == 0.0
+    np.testing.assert_allclose(float(kl_weight_for_step(jnp.array(99), 100)), 1.0)
+    np.testing.assert_allclose(
+        float(kl_weight_for_step(jnp.array(50), 101)), 0.5, atol=1e-6
+    )
+    assert float(kl_weight_for_step(jnp.array(10_000), 100)) == 1.0
+
+
+def test_ema_moves_toward_params():
+    cfg = tiny_cfg(ema_rate="0.5")
+    _, _, state, step_fn, it = setup(cfg)
+    old_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, _ = jax.jit(step_fn)(state, batch)
+    expected = jax.tree_util.tree_map(
+        lambda o, n: 0.5 * o + 0.5 * n, old_params, state.params
+    )
+    jax.tree_util.tree_map(
+        lambda e, x: np.testing.assert_allclose(e, x, atol=1e-6),
+        state.ema_params["0.5"], expected,
+    )
+    # and params actually changed so the check is non-vacuous
+    changed = any(
+        not np.allclose(o, n)
+        for o, n in zip(jax.tree_util.tree_leaves(old_params),
+                        jax.tree_util.tree_leaves(state.params))
+    )
+    assert changed
+
+
+def test_microbatch_equivalence_of_shapes():
+    cfg = tiny_cfg(microbatch=4)
+    _, _, state, step_fn, it = setup(cfg)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, metrics = jax.jit(step_fn)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_loss_second_moment_sampler_state_updates():
+    cfg = tiny_cfg(schedule_sampler="loss-second-moment")
+    _, _, state, step_fn, it = setup(cfg)
+    assert state.sampler_state is not None
+    counts0 = int(state.sampler_state["counts"].sum())
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, _ = jax.jit(step_fn)(state, batch)
+    assert int(state.sampler_state["counts"].sum()) == counts0 + cfg.batch_size
+
+
+def test_data_parallel_mesh_step_matches_single_device():
+    """The 8-device mesh step must execute and keep params replicated."""
+    cfg = tiny_cfg(batch_size=16)
+    model, diffusion, state, step_fn, it = setup(cfg)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    sharded_batch = shard_batch(mesh, batch)
+    step_jit = jax.jit(step_fn)
+    new_state, metrics = step_jit(state, sharded_batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # and the same batch through an unsharded step gives the same loss
+    state1 = jax.device_put(state, jax.devices("cpu")[0])
+    batch1 = jax.device_put(batch, jax.devices("cpu")[0])
+    _, metrics1 = jax.jit(step_fn)(state1, batch1)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-4
+    )
