@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark: MorphoMNIST CausalDiffAE on one TPU chip.
+
+Measures (1) training throughput (samples/sec) for the full
+morphomnist_causaldae preset (28px, 128ch UNet + causal encoder + SCM +
+masked variational objective, batch 128) and (2) DDIM sampling throughput
+(respaced 250-step chain, the reference's eval config).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+``vs_baseline`` compares against the PyTorch reference running the same
+config on this host's CPU (the only hardware the reference can use here),
+measured once and cached in BASELINE_local.json.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_LOCAL = REPO / "BASELINE_local.json"
+TRAIN_STEPS = 20
+SAMPLE_BATCH = 16
+
+
+def measure_torch_baseline(n_steps: int = 2) -> dict:
+    """One-time measurement of the reference's per-step train time (torch CPU)."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from improved_diffusion import gaussian_diffusion as gd
+    from improved_diffusion.nn import GaussianConvEncoder
+    from improved_diffusion.respace import SpacedDiffusion, space_timesteps
+    from improved_diffusion.unet import UNetModel
+
+    torch.manual_seed(0)
+    model = UNetModel(
+        in_channels=1, model_channels=128, out_channels=1, num_res_blocks=3,
+        attention_resolutions=(1, 3), dropout=0.0, channel_mult=(1, 2, 2),
+        num_classes=10, rep_dim=512, causal_modeling=True, num_heads=4,
+        use_scale_shift_norm=True, masking=True, n_vars=2,
+    )
+    model.rep_emb = GaussianConvEncoder(in_channels=1, latent_dim=512, num_vars=2)
+    diffusion = SpacedDiffusion(
+        use_timesteps=space_timesteps(1000, [1000]),
+        betas=gd.get_named_beta_schedule("linear", 1000),
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_LARGE,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-4)
+    B = 128
+    x = torch.rand(B, 1, 28, 28)
+    y = torch.randint(0, 10, (B,))
+    c = torch.rand(B, 2)
+
+    def step():
+        t = torch.randint(0, 1000, (B,))
+        losses = diffusion.training_losses(
+            model, x, t, model_kwargs={"y": y, "c": c}, rep_cond=True,
+            causal_modeling=True,
+        )
+        loss = losses["loss"].mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.time()
+    for _ in range(n_steps):
+        step()
+    dt = (time.time() - t0) / n_steps
+    return {"torch_cpu_train_samples_per_sec": B / dt, "torch_cpu_step_time_s": dt}
+
+
+def get_baseline() -> dict:
+    if BASELINE_LOCAL.exists():
+        return json.loads(BASELINE_LOCAL.read_text())
+    try:
+        base = measure_torch_baseline()
+        BASELINE_LOCAL.write_text(json.dumps(base, indent=2))
+        return base
+    except Exception as e:  # reference or torch unavailable
+        return {"error": str(e)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from causaldiffae_tpu.config import create_diffusion, create_model, get_config
+    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.diffusion import ddim_sample_loop
+    from causaldiffae_tpu.models.unet import CausalUNet
+    from causaldiffae_tpu.training import create_train_state, make_optimizer, make_train_step
+
+    cfg = get_config("morphomnist_causaldae").replace(use_bf16=True)
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+    it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=1024)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx), donate_argnums=0)
+
+    # --- train throughput ---
+    for _ in range(3):  # compile + warmup
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(TRAIN_STEPS):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    train_dt = (time.time() - t0) / TRAIN_STEPS
+    train_sps = cfg.batch_size / train_dt
+
+    # --- DDIM sampler throughput (respaced 250, eval config) ---
+    eval_diff = create_diffusion(cfg, eval_mode=True)
+    params = state.params
+    batch_stats = state.batch_stats
+    y = jnp.zeros((SAMPLE_BATCH,), dtype=jnp.int32)
+    z = jnp.zeros((SAMPLE_BATCH, cfg.rep_dim))
+
+    def model_fn(x, t):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, t, y=y, z=z,
+            train=False, method=CausalUNet.denoise,
+        )
+
+    @jax.jit
+    def sample(noise, rng):
+        return ddim_sample_loop(eval_diff, model_fn, noise, rng)
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), (SAMPLE_BATCH, 28, 28, 1))
+    out = sample(noise, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    n_chains = 3
+    for i in range(n_chains):
+        out = sample(noise, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(out)
+    chain_dt = (time.time() - t0) / n_chains
+    ddim_steps_per_sec = eval_diff.num_timesteps / chain_dt
+    ddim_images_per_sec = SAMPLE_BATCH / chain_dt
+
+    base = get_baseline()
+    base_sps = base.get("torch_cpu_train_samples_per_sec")
+    vs_baseline = (train_sps / base_sps) if base_sps else None
+
+    result = {
+        "metric": "train_samples_per_sec_morphomnist_causaldae",
+        "value": round(train_sps, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "baseline": "pytorch reference, same config, host CPU",
+        "train_step_time_s": round(train_dt, 5),
+        "ddim250_chain_steps_per_sec": round(ddim_steps_per_sec, 2),
+        "ddim250_images_per_sec": round(ddim_images_per_sec, 3),
+        "device": str(jax.devices()[0]),
+        "batch_size": cfg.batch_size,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

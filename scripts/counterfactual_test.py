@@ -1,0 +1,282 @@
+#!/usr/bin/env python
+"""Counterfactual evaluation entry.
+
+Rebuild of reference `scripts/image_causaldae_test.py` (C27),
+`image_diffae_test.py` (C28) and `image_conditional_test.py` (C29) as one
+CLI with three modes:
+
+- causaldae (default): do-interventions through the SCM latents - roots
+  edit mu before masking, effects edit z_post after (`:405-453`).
+- diffae: interventions directly on mu blocks (no SCM)
+  (`image_diffae_test.py:298-300`).
+- conditional: interventions edit the label vector c
+  (`image_conditional_test.py:132,153`).
+
+Branches:
+- --eval_disentanglement: encode train+test sets, run DCI (`:161-312`).
+- default: per-variable interventions at random values; effectiveness MAE =
+  L1(anti-causal classifier(sample), simulator ground truth) (`:535-607`,
+  MAE aggregation `:1046-1076`); sample grids saved as npz + png.
+"""
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# variable names per dataset (latent block order)
+VAR_NAMES = {
+    "morphomnist": ["thickness", "intensity"],
+    "pendulum": ["angle", "light", "shadow_len", "shadow_pos"],
+    "circuit": ["arm", "blue", "green", "red"],
+}
+# raw intervention ranges (dataset units) per variable
+INTERVENTION_RANGES = {
+    "morphomnist": [(1.0, 5.5), (64, 250)],
+    "pendulum": [(-40, 44), (60, 148), None, None],   # None: effect-only vars
+    "circuit": [(0.0, 1.0), (0.0, 1.0), (0.0, 1.0), (0.0, 1.0)],
+}
+
+
+def ground_truth_factors(dataset, c_raw, var_idx, value):
+    """Propagate do(var=value) through the ground-truth SCM -> all factors."""
+    from causaldiffae_tpu.data import circuit_scm, morphomnist_scm, pendulum_scm
+
+    c_new = np.array(c_raw, dtype=np.float64)
+    c_new[:, var_idx] = value
+    if dataset == "morphomnist":
+        if var_idx == 0:  # thickness -> intensity
+            c_new[:, 1] = morphomnist_scm(c_new[:, 0])
+        return c_new
+    if dataset == "pendulum":
+        if var_idx in (0, 1):
+            slen, spos = pendulum_scm(c_new[:, 0], c_new[:, 1])
+            c_new[:, 2], c_new[:, 3] = slen, spos
+        return c_new
+    if dataset == "circuit":
+        if var_idx == 0:
+            b, g, r = circuit_scm(c_new[:, 0])
+            c_new[:, 1], c_new[:, 2], c_new[:, 3] = b, g, r
+        return c_new
+    raise ValueError(dataset)
+
+
+def save_grid(images, path, ncol=8):
+    """PNG sample grid (replaces torchvision save_image)."""
+    from PIL import Image
+
+    imgs = np.asarray(images)
+    n, h, w, c = imgs.shape
+    ncol = min(ncol, n)
+    nrow = (n + ncol - 1) // ncol
+    grid = np.zeros((nrow * h, ncol * w, c), dtype=np.float32)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = imgs[i]
+    arr = (np.clip(grid, 0, 1) * 255).astype(np.uint8)
+    if c == 1:
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="morphomnist_causaldae")
+    parser.add_argument("--mode", choices=["causaldae", "diffae", "conditional"],
+                        default="causaldae")
+    parser.add_argument("--ckpt_dir", required=False, default=None)
+    parser.add_argument("--use_ema", action="store_true", default=True)
+    parser.add_argument("--data_dir", default="")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--guidance_w", type=float, default=None)
+    parser.add_argument("--eval_disentanglement", action="store_true")
+    parser.add_argument("--classifier_dir", default="")
+    parser.add_argument("--out_dir", default="/tmp/causaldiffae_eval")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from causaldiffae_tpu.config import DATA_SCALES, create_diffusion, create_model, get_config
+    from causaldiffae_tpu.data import load_data, synthetic_dataset
+    from causaldiffae_tpu.evals import (
+        ClassifierTrainer, compute_dci, load_classifier, classifier_predict_fn,
+        make_counterfactual_fn,
+    )
+    from causaldiffae_tpu.models.unet import CausalUNet
+    from causaldiffae_tpu.training import create_train_state, make_optimizer
+    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.utils import logger
+
+    logger.configure()
+    cfg = get_config(args.preset)
+    if args.mode == "diffae":
+        cfg = cfg.replace(causal_modeling=False, masking=False)
+    if args.guidance_w is not None:
+        cfg = cfg.replace(guidance_w=args.guidance_w)
+    num_samples = args.num_samples or cfg.num_samples
+    dataset = cfg.dataset
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    model = create_model(cfg)
+    eval_diffusion = create_diffusion(cfg, eval_mode=True)
+
+    # --- data ---
+    if args.synthetic or not args.data_dir:
+        test_pool = synthetic_dataset(dataset, max(num_samples, 512), seed=args.seed + 99)
+        train_pool = synthetic_dataset(dataset, 2048, seed=args.seed + 1)
+    else:
+        from causaldiffae_tpu.data.loaders import (
+            load_circuit, load_morphomnist, load_pendulum,
+        )
+        loaders = {"morphomnist": lambda s: load_morphomnist(args.data_dir, train=(s == "train")),
+                   "pendulum": lambda s: load_pendulum(args.data_dir, split=s),
+                   "circuit": lambda s: load_circuit(args.data_dir, split=s)}
+        train_pool = loaders[dataset]("train")
+        test_pool = loaders[dataset]("test")
+
+    # --- restore model variables ---
+    tx = make_optimizer(cfg)
+    first = {k: jnp.asarray(v[: args.batch_size]) for k, v in test_pool.items()}
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
+    if args.ckpt_dir:
+        ckpt = CheckpointManager(args.ckpt_dir)
+        state = ckpt.restore(state)
+        logger.log(f"restored step {int(state.step)} from {args.ckpt_dir}")
+    params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
+    variables = {"params": params, "batch_stats": state.batch_stats}
+
+    scale = np.asarray(DATA_SCALES[dataset])
+
+    # ---------------- DCI branch ---------------- #
+    if args.eval_disentanglement:
+        @jax.jit
+        def encode_z(x, rng):
+            mu, _ = model.apply(variables, x, train=False, method=CausalUNet.encode)
+            z_post = (model.apply(variables, mu, method=CausalUNet.causalize)
+                      if cfg.causal_modeling else mu)
+            noise = jax.random.normal(rng, z_post.shape)
+            return z_post + jnp.sqrt(cfg.reparam_var_scale) * noise
+
+        def encode_pool(pool, seed):
+            reps = []
+            for i in range(0, len(pool["image"]) - args.batch_size + 1, args.batch_size):
+                x = jnp.asarray(pool["image"][i:i + args.batch_size])
+                reps.append(np.asarray(encode_z(x, jax.random.PRNGKey(seed + i))))
+            return np.concatenate(reps, 0)
+
+        rep_train = encode_pool(train_pool, 0)
+        rep_test = encode_pool(test_pool, 10_000)
+        y_train = train_pool["c"][: len(rep_train)]
+        y_test = test_pool["c"][: len(rep_test)]
+        scores, _, _ = compute_dci(rep_train.T, y_train.T, rep_test.T, y_test.T)
+        logger.log(f"DCI: {scores}")
+        print(json.dumps({k: float(v) for k, v in scores.items()}))
+        return
+
+    # ---------------- effectiveness branch ---------------- #
+    # anti-causal classifiers: load if provided, else quick-train on the pool
+    n_factors = len(VAR_NAMES[dataset])
+    predictors = []
+    for f in range(n_factors):
+        path = os.path.join(args.classifier_dir or args.out_dir,
+                            f"classifier_{dataset}_{VAR_NAMES[dataset][f]}.pkl")
+        if os.path.exists(path):
+            m, v, _ = load_classifier(path, cfg.n_vars)
+            predictors.append(classifier_predict_fn(m, v))
+        else:
+            logger.log(f"training anti-causal classifier for {VAR_NAMES[dataset][f]}...")
+            tr = ClassifierTrainer(dataset, f, cfg.n_vars, seed=args.seed)
+            n = len(train_pool["image"])
+            cut = int(n * 0.9)
+            tr.fit({k: v[:cut] for k, v in train_pool.items()},
+                   {k: v[cut:] for k, v in train_pool.items()},
+                   epochs=20, batch_size=64, log_every=10)
+            tr.save_best(path)
+            m, v, _ = load_classifier(path, cfg.n_vars)
+            predictors.append(classifier_predict_fn(m, v))
+
+    rng_np = np.random.RandomState(args.seed)
+    w = cfg.guidance_w
+    mae = {name: [] for name in VAR_NAMES[dataset]}
+    n_batches = max(num_samples // args.batch_size, 1)
+
+    if args.mode == "conditional":
+        # interventions edit the c vector, conditioning the context model
+        from causaldiffae_tpu.diffusion import ddim_sample_loop
+
+        def gen(c_edit, x, rng):
+            def model_fn(xx, tt):
+                return model.apply(variables, xx, tt, c=c_edit, train=False,
+                                   method=CausalUNet.denoise)
+            noise = jax.random.normal(jax.random.fold_in(rng, 0), x.shape)
+            t = jnp.full((x.shape[0],), cfg.abduction_t, dtype=jnp.int32)
+            x_t = eval_diffusion.q_sample(x, t, noise)
+            return ddim_sample_loop(eval_diffusion, model_fn, x_t,
+                                    jax.random.fold_in(rng, 1),
+                                    clip_denoised=cfg.clip_denoised)
+
+        gen = jax.jit(gen)
+
+    for var_idx, name in enumerate(VAR_NAMES[dataset]):
+        rng_range = INTERVENTION_RANGES[dataset][var_idx]
+        if rng_range is None:
+            continue
+        if args.mode != "conditional":
+            cf_fn = jax.jit(make_counterfactual_fn(
+                cfg, model, eval_diffusion, intervene_var=var_idx,
+                where="pre" if args.mode == "diffae" else "auto",
+                use_ddim=cfg.eval_use_ddim, w=w,
+            ))
+        grids = []
+        for b in range(n_batches):
+            sel = rng_np.randint(0, len(test_pool["image"]), args.batch_size)
+            x = jnp.asarray(test_pool["image"][sel])
+            cond = {}
+            if cfg.class_cond:
+                cond["y"] = jnp.asarray(test_pool["y"][sel])
+            if cfg.context_cond:
+                cond["c"] = jnp.asarray(test_pool["c"][sel])
+
+            raw_value = rng_np.uniform(*rng_range)
+            norm_value = (raw_value - scale[var_idx, 0]) / scale[var_idx, 1]
+
+            # ground truth: propagate through the true SCM, normalized
+            c_raw = test_pool["c"][sel] * scale[:, 1] + scale[:, 0]
+            gt = ground_truth_factors(dataset, c_raw, var_idx, raw_value)
+            gt_norm = (gt - scale[:, 0]) / scale[:, 1]
+
+            key = jax.random.PRNGKey(args.seed * 1000 + var_idx * 100 + b)
+            if args.mode == "conditional":
+                c_edit = jnp.asarray(test_pool["c"][sel]).at[:, var_idx].set(norm_value)
+                samples = gen(c_edit, x, key)
+            else:
+                samples = cf_fn(variables, x, cond, norm_value, key)
+            samples = np.asarray(samples)
+            grids.append(samples)
+
+            for f, pred in enumerate(predictors):
+                out = np.asarray(pred(jnp.asarray(np.clip(samples, 0, 1))))
+                mae[VAR_NAMES[dataset][f]].append(
+                    np.abs(out - gt_norm[:, f]).mean()
+                )
+        allg = np.concatenate(grids, 0)
+        np.savez(os.path.join(args.out_dir, f"samples_do_{name}.npz"), samples=allg)
+        save_grid(allg[:64], os.path.join(args.out_dir, f"grid_do_{name}.png"))
+        logger.log(f"do({name}): saved {len(allg)} samples")
+
+    result = {f"mae_{k}": float(np.mean(v)) for k, v in mae.items() if v}
+    logger.log(f"effectiveness MAE: {result}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

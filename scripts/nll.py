@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""NLL (bits/dim) evaluation entry.
+
+Rebuild of reference `scripts/image_nll.py` (C31): stream batches through
+the full per-timestep VLB sweep (here one compiled `lax.scan` per batch
+instead of T host-dispatched model calls), aggregate term means, save
+``*_terms.npz``. The reference's cross-rank `dist.all_reduce`
+(`image_nll.py:63-69`) is unnecessary: metrics from the jitted function are
+already global.
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="morphomnist_causaldae")
+    parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--data_dir", default="")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--num_samples", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--clip_denoised", action="store_true", default=True)
+    parser.add_argument("--out_dir", default="/tmp/causaldiffae_nll")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from causaldiffae_tpu.config import create_diffusion, create_model, get_config
+    from causaldiffae_tpu.data import load_data, synthetic_dataset
+    from causaldiffae_tpu.diffusion import calc_bpd_loop
+    from causaldiffae_tpu.models.unet import CausalUNet
+    from causaldiffae_tpu.training import create_train_state, make_optimizer
+    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.utils import logger
+
+    logger.configure()
+    cfg = get_config(args.preset)
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)  # full (non-respaced) process
+
+    if args.synthetic or not args.data_dir:
+        pool = synthetic_dataset(cfg.dataset, max(args.num_samples, 64), seed=args.seed)
+    else:
+        from causaldiffae_tpu.data.loaders import (
+            load_circuit, load_morphomnist, load_pendulum,
+        )
+        pool = {"morphomnist": lambda: load_morphomnist(args.data_dir, train=False),
+                "pendulum": lambda: load_pendulum(args.data_dir, split="test"),
+                "circuit": lambda: load_circuit(args.data_dir, split="test")}[cfg.dataset]()
+
+    first = {k: jnp.asarray(v[: args.batch_size]) for k, v in pool.items()}
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
+    if args.ckpt_dir:
+        state = CheckpointManager(args.ckpt_dir).restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def bpd(x, cond_y, cond_c, z, rng):
+        def model_fn(xx, tt):
+            return model.apply(
+                variables, xx, tt,
+                y=cond_y if cfg.class_cond else None,
+                c=cond_c if cfg.context_cond else None,
+                z=z if cfg.rep_cond else None,
+                train=False, method=CausalUNet.denoise,
+            )
+        return calc_bpd_loop(diffusion, model_fn, x, rng,
+                             clip_denoised=args.clip_denoised)
+
+    @jax.jit
+    def encode_z(x, rng):
+        mu, _ = model.apply(variables, x, train=False, method=CausalUNet.encode)
+        z_post = (model.apply(variables, mu, method=CausalUNet.causalize)
+                  if cfg.causal_modeling else mu)
+        return z_post + jnp.sqrt(cfg.reparam_var_scale) * jax.random.normal(rng, z_post.shape)
+
+    all_metrics = {"vb": [], "mse": [], "xstart_mse": []}
+    all_bpd = []
+    n_done = 0
+    i = 0
+    while n_done < args.num_samples:
+        sel = slice(i * args.batch_size, (i + 1) * args.batch_size)
+        x = jnp.asarray(pool["image"][sel])
+        if x.shape[0] == 0:
+            break
+        y = jnp.asarray(pool["y"][sel]) if "y" in pool else None
+        c = jnp.asarray(pool["c"][sel]) if "c" in pool else None
+        z = encode_z(x, jax.random.PRNGKey(1234 + i)) if cfg.rep_cond else None
+        out = bpd(x, y, c, z, jax.random.PRNGKey(args.seed + i))
+        all_bpd.append(np.asarray(out["total_bpd"]))
+        for k in all_metrics:
+            all_metrics[k].append(np.asarray(out[k]))
+        n_done += x.shape[0]
+        i += 1
+        logger.log(f"done {n_done} samples: bpd so far = {np.concatenate(all_bpd).mean():.4f}")
+
+    total = float(np.concatenate(all_bpd).mean())
+    logger.log(f"total_bpd = {total:.5f}")
+    os.makedirs(args.out_dir, exist_ok=True)
+    for name, terms in all_metrics.items():
+        np.savez(os.path.join(args.out_dir, f"{name}_terms.npz"),
+                 np.concatenate(terms, axis=0))
+    print(f'{{"total_bpd": {total}}}')
+
+
+if __name__ == "__main__":
+    main()

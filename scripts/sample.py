@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Prior / unconditional sampling entry.
+
+Rebuild of reference `scripts/image_sample_rep.py` (C30): draw z ~ N(0, I)
+(rep_dim), run the sampling chain, save an .npz of samples + a PNG grid.
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="morphomnist_causaldae")
+    parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--num_samples", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--use_ddim", action="store_true")
+    parser.add_argument("--use_ema", action="store_true", default=True)
+    parser.add_argument("--out_dir", default="/tmp/causaldiffae_samples")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from causaldiffae_tpu.config import create_diffusion, create_model, get_config
+    from causaldiffae_tpu.data import synthetic_dataset
+    from causaldiffae_tpu.evals import make_prior_sample_fn
+    from causaldiffae_tpu.training import create_train_state, make_optimizer
+    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.utils import logger
+    from counterfactual_test import save_grid
+
+    logger.configure()
+    cfg = get_config(args.preset)
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg, eval_mode=True)
+
+    pool = synthetic_dataset(cfg.dataset, args.batch_size, seed=1)
+    first = {k: jnp.asarray(v) for k, v in pool.items()}
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
+    if args.ckpt_dir:
+        state = CheckpointManager(args.ckpt_dir).restore(state)
+        logger.log(f"restored step {int(state.step)}")
+    params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
+    variables = {"params": params, "batch_stats": state.batch_stats}
+
+    fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim),
+                 static_argnums=1)
+    shape = (args.batch_size, cfg.image_size, cfg.image_size, cfg.in_channels)
+    cond = {}
+    if cfg.class_cond:
+        cond["y"] = jnp.arange(args.batch_size, dtype=jnp.int32) % 10
+    if cfg.context_cond:
+        cond["c"] = jnp.zeros((args.batch_size, 4))
+
+    all_images = []
+    i = 0
+    while len(all_images) * args.batch_size < args.num_samples:
+        out = fn(variables, shape, cond, jax.random.PRNGKey(args.seed + i))
+        all_images.append(np.asarray(out))
+        i += 1
+        logger.log(f"created {len(all_images) * args.batch_size} samples")
+
+    arr = np.concatenate(all_images, axis=0)[: args.num_samples]
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_path = os.path.join(args.out_dir, f"samples_{arr.shape[0]}x{arr.shape[1]}x{arr.shape[2]}.npz")
+    np.savez(out_path, arr_0=arr)
+    save_grid(arr[:64], os.path.join(args.out_dir, "grid.png"))
+    logger.log(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

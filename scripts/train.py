@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Rebuild of reference `scripts/image_train.py` + the per-dataset shell
+launchers: one CLI over the named presets with flag overrides. No mpiexec -
+multi-chip data parallelism comes from the jitted step over the device mesh
+(all local devices by default; multi-host via `jax.distributed.initialize`
+when JAX_COORDINATOR_ADDRESS is set).
+
+Usage:
+  python scripts/train.py --preset morphomnist_causaldae --data_dir /data/morphomnist
+  python scripts/train.py --preset pendulum_causaldae --synthetic --total_steps 2000
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="morphomnist_causaldae")
+    parser.add_argument("--data_dir", default="")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on the built-in synthetic SCM data")
+    parser.add_argument("--logdir", default=None)
+    parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--no_resume", action="store_true")
+    # common overrides (same names as the reference flags)
+    for flag, typ in [
+        ("batch_size", int), ("microbatch", int), ("lr", float),
+        ("total_steps", int), ("lr_anneal_steps", int), ("log_interval", int),
+        ("save_interval", int), ("diffusion_steps", int), ("seed", int),
+        ("ema_rate", str), ("schedule_sampler", str), ("weight_decay", float),
+        ("kl_anneal_steps", int),
+    ]:
+        parser.add_argument(f"--{flag}", type=typ, default=None)
+    parser.add_argument("--use_bf16", type=lambda s: s.lower() in "1 true yes t y".split(),
+                        default=None)
+    args = parser.parse_args()
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+    from causaldiffae_tpu.config import create_diffusion, create_model, get_config
+    from causaldiffae_tpu.data import load_data, synthetic_iterator
+    from causaldiffae_tpu.training.loop import TrainLoop
+    from causaldiffae_tpu.utils import logger
+
+    cfg = get_config(args.preset)
+    overrides = {
+        k: v for k, v in vars(args).items()
+        if v is not None and hasattr(cfg, k) and k not in ("preset",)
+    }
+    if overrides:
+        cfg = cfg.replace(**overrides)
+
+    logger.configure(dir=args.logdir)
+    logger.log(f"config: {cfg}")
+
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+
+    if args.synthetic or not args.data_dir:
+        logger.log("using synthetic SCM data")
+        data = synthetic_iterator(cfg.dataset, cfg.batch_size, seed=cfg.seed)
+    else:
+        data = load_data(
+            data_dir=args.data_dir, batch_size=cfg.batch_size,
+            image_size=cfg.image_size, class_cond=cfg.class_cond, seed=cfg.seed,
+        )
+
+    ckpt_dir = args.ckpt_dir or os.path.join(
+        logger.get_current().dir or "/tmp", "checkpoints", cfg.name
+    )
+    loop = TrainLoop(cfg, model, diffusion, data, ckpt_dir=ckpt_dir,
+                     resume=not args.no_resume)
+    loop.run_loop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Eval-stack tests: metrics, simulators, classifiers, counterfactual pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from causaldiffae_tpu.config import Config, create_diffusion, create_model
+from causaldiffae_tpu.data import (
+    morphomnist_scm,
+    pendulum_scm,
+    circuit_scm,
+    render_morphomnist,
+    synthetic_dataset,
+    synthetic_iterator,
+)
+from causaldiffae_tpu.evals import (
+    FID,
+    ClassifierTrainer,
+    classifier_predict_fn,
+    compute_dci,
+    compute_irs,
+    make_counterfactual_fn,
+    make_prior_sample_fn,
+    make_reconstruct_fn,
+    mcc,
+)
+from causaldiffae_tpu.evals.quality import frechet_distance
+from causaldiffae_tpu.training import create_train_state, make_optimizer
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        name="tiny", dataset="morphomnist", image_size=28, in_channels=1,
+        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
+        attention_resolutions="14", class_cond=True, rep_cond=True,
+        causal_modeling=True, diffusion_steps=100,
+        eval_timestep_respacing="10", abduction_t=9, batch_size=4,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+# ---------------- metrics ---------------- #
+def test_mcc_permutation_invariance():
+    rng = np.random.RandomState(0)
+    Z = rng.randn(500, 4)
+    perm = Z[:, [2, 0, 3, 1]] * np.array([1, -1, 1, -1])
+    assert mcc(Z, perm) > 0.999
+    noise = rng.randn(500, 4)
+    assert mcc(Z, noise) < 0.3
+
+
+def test_dci_perfect_code():
+    """Codes == factors must give disentanglement/completeness ~= 1."""
+    rng = np.random.RandomState(0)
+    y = rng.rand(4, 400)
+    mus = y + rng.randn(4, 400) * 0.01
+    scores, imp, _ = compute_dci(mus[:, :300], y[:, :300], mus[:, 300:], y[:, 300:])
+    assert scores["disentanglement"] > 0.9
+    assert scores["completeness"] > 0.9
+
+
+def test_irs_runs():
+    rng = np.random.RandomState(0)
+    y = np.repeat(np.arange(5), 40)[:, None].astype(float)
+    rep = np.concatenate([y + rng.randn(200, 1) * 0.01, rng.randn(200, 3)], axis=1)
+    # reference layout: (num_codes, N) / (num_factors, N), transposed inside
+    out = compute_irs(rep.T, y.T)
+    assert 0.0 <= out["IRS"] <= 1.0
+
+
+def test_frechet_identical_is_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 8)
+    mu, s = f.mean(0), np.cov(f, rowvar=False)
+    assert abs(frechet_distance(mu, s, mu, s)) < 1e-8
+    g = f + 3.0
+    mu2, s2 = g.mean(0), np.cov(g, rowvar=False)
+    assert frechet_distance(mu, s, mu2, s2) > 8 * 8.9  # ||3||^2 per dim
+
+
+def test_fid_accumulator():
+    rng = np.random.RandomState(0)
+    fid = FID()
+    a = rng.rand(64, 28, 28, 1)
+    fid.update(a, real=True)
+    fid.update(a + 0.0, real=False)
+    assert fid.compute() < 1e-6
+    fid.reset()
+    fid.update(a, real=True)
+    fid.update(1.0 - a, real=False)
+    assert fid.compute() > 0.01
+
+
+# ---------------- simulators ---------------- #
+def test_morphomnist_scm_monotone():
+    t = np.linspace(0.5, 5.5, 20)
+    i = morphomnist_scm(t)
+    assert (np.diff(i) > 0).all()
+    assert i.min() >= 64 and i.max() <= 255
+
+
+def test_pendulum_scm_geometry():
+    slen, spos = pendulum_scm(np.array([0.0]), np.array([80.0]))
+    assert np.isfinite(slen).all() and np.isfinite(spos).all()
+    assert (slen > 0).all()
+    # light right of center (phi < pi/2) casts the shadow leftward of the sun
+    slen2, spos2 = pendulum_scm(np.array([0.0]), np.array([120.0]))
+    assert not np.allclose(spos, spos2)
+
+
+def test_circuit_scm_ranges():
+    arm = np.linspace(0, 1, 11)
+    b, g, r = circuit_scm(arm)
+    for v in (b, g, r):
+        assert (v >= 0).all() and (v <= 1).all()
+    assert b[-1] > b[0] and g[-1] > g[0]
+
+
+def test_renderer_reflects_labels():
+    """Images must change monotonically with their controlling factor."""
+    imgs = render_morphomnist([1.0, 5.0], [200.0, 200.0])
+    # thicker stroke -> more lit pixels
+    assert (imgs[1] > 0.1).sum() > (imgs[0] > 0.1).sum()
+    im2 = render_morphomnist([2.0, 2.0], [80.0, 250.0])
+    assert im2[1].max() > im2[0].max()
+
+
+def test_synthetic_dataset_shapes():
+    d = synthetic_dataset("morphomnist", 8)
+    assert d["image"].shape == (8, 28, 28, 1)
+    assert d["c"].shape == (8, 2) and d["y"].shape == (8,)
+    d = synthetic_dataset("pendulum", 2)
+    assert d["image"].shape == (2, 96, 96, 4)
+    d = synthetic_dataset("circuit", 2)
+    assert d["image"].shape == (2, 128, 128, 3)
+
+
+# ---------------- classifier trainer ---------------- #
+def test_classifier_learns_intensity():
+    data = synthetic_dataset("morphomnist", 512, seed=3)
+    cut = 448
+    tr = ClassifierTrainer("morphomnist", factor=1, n_vars=2)
+    best = tr.fit({k: v[:cut] for k, v in data.items()},
+                  {k: v[cut:] for k, v in data.items()},
+                  epochs=10, batch_size=64)
+    assert best is not None
+    # normalized intensity has variance ~1; regression must clearly beat the
+    # predict-the-mean baseline within a few epochs
+    var = float(np.var(data["c"][cut:, 1]))
+    assert tr.best_val < 0.4 * var
+
+
+# ---------------- counterfactual pipeline ---------------- #
+@pytest.fixture(scope="module")
+def cf_setup():
+    cfg = tiny_cfg()
+    model = create_model(cfg)
+    eval_diff = create_diffusion(cfg, eval_mode=True)
+    it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=16)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, model, eval_diff, variables, batch
+
+
+def test_counterfactual_root_and_effect(cf_setup):
+    cfg, model, eval_diff, variables, batch = cf_setup
+    x = batch["image"]
+    cond = {"y": batch["y"]}
+    for var_idx, expected_where in [(0, "pre"), (1, "post")]:
+        fn = jax.jit(make_counterfactual_fn(
+            cfg, model, eval_diff, intervene_var=var_idx, where="auto",
+        ))
+        out = fn(variables, x, cond, 0.2, jax.random.PRNGKey(1))
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
+
+
+def test_counterfactual_guidance_path(cf_setup):
+    cfg, model, eval_diff, variables, batch = cf_setup
+    fn = jax.jit(make_counterfactual_fn(
+        cfg, model, eval_diff, intervene_var=0, w=2.0,
+    ))
+    out = fn(variables, batch["image"], {"y": batch["y"]}, 0.5, jax.random.PRNGKey(2))
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_reconstruct_and_prior_sample(cf_setup):
+    cfg, model, eval_diff, variables, batch = cf_setup
+    rec = jax.jit(make_reconstruct_fn(cfg, model, eval_diff))
+    out = rec(variables, batch["image"], {"y": batch["y"]}, jax.random.PRNGKey(3))
+    assert out.shape == batch["image"].shape
+    prior = jax.jit(make_prior_sample_fn(cfg, model, eval_diff), static_argnums=1)
+    shape = (2, cfg.image_size, cfg.image_size, cfg.in_channels)
+    out2 = prior(variables, shape, {"y": batch["y"][:2]}, jax.random.PRNGKey(4))
+    assert out2.shape == shape
