@@ -93,6 +93,11 @@ def get_baseline() -> dict:
 
 def main():
     import jax
+
+    # persistent compile cache: bench compiles once per machine, not per run
+    cache_dir = str(REPO / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from causaldiffae_tpu.config import create_diffusion, create_model, get_config

@@ -1,0 +1,150 @@
+"""Fused GroupNorm(+scale-shift)+SiLU Pallas kernel.
+
+The ResBlock hot path applies GroupNorm32 -> (1+scale)*h + shift -> SiLU
+(reference `unet.py:190-194` + `nn.py:435-437`): a memory-bound chain of
+elementwise passes over the activation map. This kernel does it in ONE pass
+per batch element: load the [HW, C] tile to VMEM, compute the 32 group
+statistics in fp32 on the VPU, then normalize + affine + conditioning +
+SiLU and write back - a single HBM read and write.
+
+Falls back to the XLA path (models.layers.GroupNorm32) when the per-batch
+tile would not fit VMEM (large feature maps at 96/128px level 0) - the
+caller checks `fits_vmem`.
+
+Backward: custom VJP recomputing through the jnp reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+__all__ = ["fused_groupnorm_silu", "fits_vmem"]
+
+VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def fits_vmem(hw: int, c: int, bytes_per_el: int = 4) -> bool:
+    # input + output + fp32 scratch headroom
+    return 3 * hw * c * bytes_per_el <= VMEM_BUDGET_BYTES
+
+
+def _kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
+            *, num_groups: int, eps: float, with_cond: bool, with_silu: bool):
+    x = x_ref[0].astype(jnp.float32)            # [HW, C]
+    HW, C = x.shape
+    cg = C // num_groups
+    xg = x.reshape(HW, num_groups, cg)
+    mean = jnp.mean(xg, axis=(0, 2))            # [G]
+    var = jnp.mean(jnp.square(xg), axis=(0, 2)) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)              # [G]
+    inv_c = jnp.repeat(inv, cg)                  # [C]
+    mean_c = jnp.repeat(mean, cg)                # [C]
+    y = (x - mean_c[None, :]) * inv_c[None, :]
+    y = y * gamma_ref[0][None, :] + beta_ref[0][None, :]
+    if with_cond:
+        y = y * (1.0 + scale_ref[0].astype(jnp.float32)[None, :]) \
+            + shift_ref[0].astype(jnp.float32)[None, :]
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _reference(x, gamma, beta, scale, shift, num_groups, eps, with_cond, with_silu):
+    B, HW, C = x.shape
+    x32 = x.astype(jnp.float32)
+    cg = C // num_groups
+    xg = x32.reshape(B, HW, num_groups, cg)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, HW, C)
+    y = y * gamma[None, None, :] + beta[None, None, :]
+    if with_cond:
+        y = y * (1.0 + scale.astype(jnp.float32)[:, None, :]) \
+            + shift.astype(jnp.float32)[:, None, :]
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret):
+    B, HW, C = x.shape
+    with_cond = scale is not None
+    if scale is None:
+        scale = jnp.zeros((B, C), dtype=x.dtype)
+        shift = jnp.zeros((B, C), dtype=x.dtype)
+    gamma2 = jnp.broadcast_to(gamma.astype(jnp.float32)[None, :], (1, C))
+    beta2 = jnp.broadcast_to(beta.astype(jnp.float32)[None, :], (1, C))
+    mem = _VMEM if (_VMEM and not interpret) else None
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, num_groups=num_groups, eps=eps,
+            with_cond=with_cond, with_silu=with_silu,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, HW, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=mem),
+            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=mem),
+        interpret=interpret,
+    )(x, gamma2, beta2, scale, shift)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_groupnorm_silu(
+    x: jnp.ndarray,              # [B, HW, C]
+    gamma: jnp.ndarray,          # [C]
+    beta: jnp.ndarray,           # [C]
+    scale: Optional[jnp.ndarray],   # [B, C] or None
+    shift: Optional[jnp.ndarray],   # [B, C] or None
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    with_silu: bool = True,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret)
+
+
+def _fwd(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret)
+    return out, (x, gamma, beta, scale, shift)
+
+
+def _bwd(num_groups, eps, with_silu, interpret, res, g):
+    x, gamma, beta, scale, shift = res
+    with_cond = scale is not None
+
+    def ref(x, gamma, beta, scale, shift):
+        return _reference(x, gamma, beta, scale, shift, num_groups, eps,
+                          with_cond, with_silu)
+
+    if with_cond:
+        _, vjp = jax.vjp(ref, x, gamma, beta, scale, shift)
+        return vjp(g)
+    _, vjp = jax.vjp(lambda a, b, c: ref(a, b, c, None, None), x, gamma, beta)
+    dx, dgamma, dbeta = vjp(g)
+    return (dx, dgamma, dbeta, None, None)
+
+
+fused_groupnorm_silu.defvjp(_fwd, _bwd)

@@ -48,7 +48,13 @@ def ema_rates(cfg) -> list:
 
 def create_train_state(cfg, model, tx: optax.GradientTransformation, rng: jax.Array,
                        sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
-    """Initialize params/EMA/optimizer from one example batch."""
+    """Initialize params/EMA/optimizer from one example batch.
+
+    Initialization runs on the host CPU backend: eager dispatch of the many
+    small init ops through a remote TPU runtime is minutes-slow, while the
+    CPU does it in seconds; the jitted train step moves everything to the
+    accelerator on first use.
+    """
     init_rngs = {
         "params": rng,
         "reparam": jax.random.fold_in(rng, 1),
@@ -64,7 +70,19 @@ def create_train_state(cfg, model, tx: optax.GradientTransformation, rng: jax.Ar
         kwargs["c"] = sample_batch["c"]
     if cfg.rep_cond:
         kwargs["x_start"] = x
-    variables = model.init(init_rngs, x, t, train=True, **kwargs)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = model.init(
+                init_rngs, jax.device_put(x, cpu), jax.device_put(t, cpu),
+                train=True,
+                **{k: jax.device_put(v, cpu) for k, v in kwargs.items()},
+            )
+    else:
+        variables = model.init(init_rngs, x, t, train=True, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
