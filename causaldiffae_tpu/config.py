@@ -124,6 +124,8 @@ class Config:
     save_interval: int = 10000
     schedule_sampler: str = "uniform"
     use_remat: bool = False
+    skip_nonfinite: bool = True   # drop steps with non-finite grads (the bf16
+                                  # analogue of fp16_util's NaN skip, train_util.py:276-280)
     seed: int = 0
 
     # --- eval (test_*.sh + image_causaldae_test.py) ---
@@ -188,6 +190,29 @@ def create_model(cfg: Config):
         dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
         use_pallas=cfg.use_pallas,
     )
+
+
+def create_sr_model(cfg: Config, large_size: int = 256, small_size: int = 64):
+    """Super-resolution model factory (reference `sr_create_model`,
+    `script_util.py:241-281`): a UNet over 2x input channels conditioned on
+    the bilinear-upsampled low-res image."""
+    from .models.unet import CausalUNet, SuperResUNet
+
+    inner = CausalUNet(
+        in_channels=cfg.in_channels * 2,
+        model_channels=cfg.num_channels,
+        out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=attention_ds(large_size, cfg.attention_resolutions),
+        dropout=cfg.dropout,
+        channel_mult=channel_mult_for(large_size),
+        num_classes=NUM_CLASSES if cfg.class_cond else None,
+        num_heads=cfg.num_heads,
+        num_heads_upsample=cfg.num_heads_upsample,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
+    )
+    return SuperResUNet(unet=inner)
 
 
 def create_diffusion(cfg: Config, eval_mode: bool = False):

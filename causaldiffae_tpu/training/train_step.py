@@ -149,17 +149,31 @@ def make_train_step(cfg, model, diffusion: GaussianDiffusion, tx: optax.Gradient
         per_sample_loss = jnp.broadcast_to(terms["loss"], (B,))
         sampler_state = update_sampler_state(state.sampler_state, t, per_sample_loss)
 
+        grad_norm = _global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.skip_nonfinite:
+            # the bf16 analogue of the fp16 NaN skip (train_util.py:276-280):
+            # if any grad is non-finite, keep the previous params/opt state
+            ok = jnp.isfinite(grad_norm)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+                opt_state, state.opt_state,
+            )
         ema_params = {r: _tree_ema(state.ema_params[r], params, float(r)) for r in rates}
 
         metrics = {
             "loss": jnp.mean(jnp.broadcast_to(terms["loss"], (B,)) * weights),
             "mse": jnp.mean(terms["mse"] * weights),
-            "grad_norm": _global_norm(grads),
+            "grad_norm": grad_norm,
             "param_norm": _global_norm(params),
             "kl_weight": kl_weight,
         }
+        if cfg.skip_nonfinite:
+            metrics["step_skipped"] = 1.0 - jnp.isfinite(grad_norm).astype(jnp.float32)
         if "kld_rep" in terms:
             metrics["kld_rep"] = jnp.mean(terms["kld_rep"])
         if "vb" in terms:

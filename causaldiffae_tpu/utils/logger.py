@@ -137,6 +137,10 @@ def make_output_format(fmt: str, ev_dir: str, log_suffix: str = "") -> KVWriter:
         return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
     if fmt == "csv":
         return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        from .tensorboard import TensorBoardWriter
+
+        return TensorBoardWriter(osp.join(ev_dir, f"tb{log_suffix}"))
     raise ValueError(f"unknown format: {fmt}")
 
 

@@ -252,3 +252,18 @@ def test_bf16_torso_finite():
     cfg = tiny_cfg(class_cond=True, rep_cond=True, causal_modeling=True, use_bf16=True)
     _, _, (eps, aux) = init_and_run(cfg)
     assert bool(jnp.isfinite(eps.astype(jnp.float32)).all())
+
+
+def test_superres_model():
+    """SuperResUNet conditions on an upsampled low-res image (unet.py:667-688)."""
+    from causaldiffae_tpu.config import create_sr_model
+
+    cfg = tiny_cfg(in_channels=3, rep_cond=False, causal_modeling=False,
+                   num_channels=32, num_res_blocks=1)
+    model = create_sr_model(cfg, large_size=32, small_size=16)
+    x = jnp.zeros((2, 32, 32, 3))
+    low = jnp.zeros((2, 16, 16, 3))
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, t, low_res=low, train=False)
+    eps, aux = model.apply(variables, x, t, low_res=low, train=False)
+    assert eps.shape == (2, 32, 32, 3)
