@@ -189,6 +189,7 @@ def create_model(cfg: Config):
         reparam_var_scale=cfg.reparam_var_scale,
         dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
         use_pallas=cfg.use_pallas,
+        use_remat=cfg.use_remat,
     )
 
 

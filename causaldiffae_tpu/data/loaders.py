@@ -117,25 +117,41 @@ def load_pendulum(root: str, split: str = "train") -> Dict[str, np.ndarray]:
     return {"image": np.stack(images), "c": c.astype(np.float32)}
 
 
-def load_circuit(root: str, split: str = "train", image_size: int = 128) -> Dict[str, np.ndarray]:
+def _circuit_regime_mask(lat: np.ndarray) -> np.ndarray:
+    """The 'simplified' filtered-regime selection (reference
+    `CausalCircuitSimplified`, `image_datasets.py:502-610`): three disjoint
+    arm-position bands with specific light configurations. ``lat`` is in the
+    RAW latent order [red, green, blue, arm] (pre-permutation)."""
+    r1 = (lat[:, 3] > 0.1) & (lat[:, 3] < 0.4) & (lat[:, 0] > 0.5) & (lat[:, 1] > 0.4) & (lat[:, 2] < 0.2)
+    r2 = (lat[:, 3] > 0.4) & (lat[:, 3] < 0.7) & (lat[:, 0] > 0.5) & (lat[:, 2] < 0.2) & (lat[:, 1] < 0.2)
+    r3 = (lat[:, 3] > 0.7) & (lat[:, 3] < 1.0) & (lat[:, 0] > 0.5) & (lat[:, 2] > 0.4) & (lat[:, 1] < 0.2)
+    return r1 | r2 | r3
+
+
+def load_circuit(root: str, split: str = "train", image_size: int = 128,
+                 simplified: bool = False) -> Dict[str, np.ndarray]:
     from PIL import Image
 
     root = Path(root)
     files = [root / "test.npz"] if split == "test" else [root / f"train-{k}.npz" for k in range(5)]
     images, labels = [], []
     perm = [3, 2, 1, 0]  # -> [arm, blue, green, red]
+    # simplified uses both stored frames per episode (image_datasets.py:513-517)
+    frames = (0, 1) if simplified else (0,)
     for f in files:
         data = np.load(f, allow_pickle=True)
-        lat = data["original_latents"][:, 0, :]
-        imgs = data["imgs"][:, 0]
-        for i in range(len(imgs)):
-            with Image.open(_io.BytesIO(imgs[i])) as im:
-                im = im.convert("RGB")
-                w, h = im.size
-                s = image_size / min(w, h)  # torchvision Resize(128) semantics
-                im = im.resize((round(w * s), round(h * s)), Image.BILINEAR)
-                images.append(np.asarray(im, dtype=np.float32) / 255.0)
-            labels.append(lat[i][perm])
+        for frame in frames:
+            lat = data["original_latents"][:, frame, :]
+            imgs = data["imgs"][:, frame]
+            keep = _circuit_regime_mask(lat) if simplified else np.ones(len(imgs), bool)
+            for i in np.nonzero(keep)[0]:
+                with Image.open(_io.BytesIO(imgs[i])) as im:
+                    im = im.convert("RGB")
+                    w, h = im.size
+                    s = image_size / min(w, h)  # torchvision Resize(128) semantics
+                    im = im.resize((round(w * s), round(h * s)), Image.BILINEAR)
+                    images.append(np.asarray(im, dtype=np.float32) / 255.0)
+                labels.append(lat[i][perm])
     return {"image": np.stack(images), "c": np.asarray(labels, dtype=np.float32)}
 
 

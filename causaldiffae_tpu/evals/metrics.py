@@ -148,3 +148,96 @@ def mcc(Z: np.ndarray, Zp: np.ndarray) -> float:
             rho[i, j] = np.abs(np.corrcoef(Z[:, i], Zp[:, j])[0, 1])
     r, c = linear_sum_assignment(-rho)
     return float(np.mean(rho[r, c]))
+
+
+# --------------------------------------------------------------------- #
+# R^2 / linear / permutation disentanglement (reference `metrics.py:248-506`)
+# The Munkres reorder uses scipy.optimize.linear_sum_assignment instead of
+# the vendored 734-line solver.
+# --------------------------------------------------------------------- #
+def _corr_disentanglement(z, hz, mode, reorder):
+    from sklearn import metrics as skmetrics
+
+    if mode == "r2":
+        return skmetrics.r2_score(z, hz), None
+    if mode == "adjusted_r2":
+        r2 = skmetrics.r2_score(z, hz)
+        n, p = z.shape[0], z.shape[1]
+        return 1.0 - (1.0 - r2) * (n - 1) / (n - p - 1), None
+    assert mode in ("pearson", "spearman")
+    dim = z.shape[-1]
+    if mode == "spearman":
+        raw_corr, _ = scipy.stats.spearmanr(z, hz)
+    else:
+        raw_corr = np.corrcoef(z.T, hz.T)
+    corr = raw_corr[:dim, dim:]
+    if reorder:
+        _, cols = linear_sum_assignment(-np.abs(corr))
+        hz_sort = hz[:, cols]
+        if mode == "spearman":
+            raw_corr, _ = scipy.stats.spearmanr(z, hz_sort)
+        else:
+            raw_corr = np.corrcoef(z.T, hz_sort.T)
+        corr = raw_corr[:dim, dim:]
+    return float(np.diag(np.abs(corr)).mean()), corr
+
+
+def r2_disentanglement(z, hz, mode: str = "r2", reorder=None):
+    """Per-row-mean R^2 (mode='r2') or correlation disentanglement
+    (reference `metrics.py:248-300`)."""
+    assert mode in ("r2", "adjusted_r2", "pearson", "spearman")
+    if mode == "r2":
+        from sklearn import metrics as skmetrics
+
+        scores = [skmetrics.r2_score(z[i], hz[i]) for i in range(z.shape[0])]
+        return float(np.mean(scores))
+    return _corr_disentanglement(z, hz, mode, reorder)
+
+
+def linear_disentanglement(z, hz, mode: str = "r2", train_test_split: bool = False):
+    """Disentanglement up to a linear map (reference `metrics.py:303-341`)."""
+    from sklearn import linear_model
+
+    z, hz = np.asarray(z), np.asarray(hz)
+    if train_test_split:
+        n_train = len(z) // 2
+        z1, hz1, z2, hz2 = z[:n_train], hz[:n_train], z[n_train:], hz[n_train:]
+    else:
+        z1, hz1, z2, hz2 = z, hz, z, hz
+    model = linear_model.LinearRegression()
+    model.fit(hz1, z1)
+    pred = model.predict(hz2)
+    return _corr_disentanglement(z2, pred, mode, False), (z2, pred)
+
+
+def permutation_disentanglement(z, hz, mode: str = "r2", rescaling: bool = True,
+                                solver: str = "munkres"):
+    """Disentanglement up to permutation (+ optional per-dim rescaling)
+    (reference `metrics.py:405-506`; 'naive' enumerates permutations with
+    sign flips, 'munkres' uses the assignment-based reorder)."""
+    z, hz = np.asarray(z), np.asarray(hz)
+    n = z.shape[-1]
+
+    def score(Thz, reorder):
+        if rescaling:
+            beta = (z * Thz).sum(0) / np.maximum((Thz**2).sum(0), 1e-12)
+            Thz = Thz * beta[None, :]
+        return _corr_disentanglement(z, Thz, mode, reorder)
+
+    if solver == "munkres":
+        assert mode in ("pearson", "spearman"), "munkres solver needs a correlation mode"
+        return score(hz, True)
+    assert solver == "naive"
+    import itertools
+
+    best = (-np.inf, None)
+    for perm in itertools.permutations(range(n)):
+        for signs in itertools.product([1, -1], repeat=n):
+            T = np.zeros((n, n))
+            for i, (p, s) in enumerate(zip(perm, signs)):
+                T[p, i] = s
+            val = score(hz @ T, False)
+            v = val[0] if isinstance(val, tuple) else val
+            if v > best[0]:
+                best = (v, val)
+    return best[1]

@@ -178,7 +178,7 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, *, train: bool = False):
+    def __call__(self, x, emb, train: bool = False):
         out_ch = self.out_channels or self.channels
 
         h = GroupNorm32()(x)

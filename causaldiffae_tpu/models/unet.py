@@ -81,10 +81,16 @@ class CausalUNet(nn.Module):
     reparam_var_scale: float = 1e-3
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_remat: bool = False
 
     def setup(self):
         ted = self.model_channels * 4
         heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+        # gradient checkpointing: rematerialize each ResBlock's activations in
+        # the backward pass (replaces the reference's CheckpointFunction,
+        # nn.py:572-618, via jax.checkpoint through flax's lifted remat)
+        # static_argnums counts flax's internal scope arg: (scope, x, emb, train)
+        res_cls = nn.remat(ResBlock, static_argnums=(3,)) if self.use_remat else ResBlock
 
         self.time_dense1 = DenseT(ted, dtype=jnp.float32)
         self.time_dense2 = DenseT(ted, dtype=jnp.float32)
@@ -111,7 +117,7 @@ class CausalUNet(nn.Module):
             )
 
         def res(ch_in, ch_out):
-            return ResBlock(
+            return res_cls(
                 channels=ch_in,
                 emb_channels=ted,
                 dropout=self.dropout,
@@ -167,8 +173,9 @@ class CausalUNet(nn.Module):
     # ------------------------------------------------------------------ #
     def _apply_seq(self, modules, h, emb, train):
         for m in modules:
-            if isinstance(m, ResBlock):
-                h = m(h, emb, train=train)
+            # ResBlocks (possibly remat-wrapped, so no isinstance) take (x, emb, train)
+            if hasattr(m, "emb_channels"):
+                h = m(h, emb, train)
             else:
                 h = m(h)
         return h

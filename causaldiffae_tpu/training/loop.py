@@ -74,10 +74,14 @@ class TrainLoop:
         world_batch = cfg.batch_size
         t_start = time.time()
         step = int(self.state.step)
+        # one batch in flight: issue the host->device transfer for batch k+1
+        # while the device runs step k (device_put + step dispatch are async)
+        next_batch = self._put(next(self.data))
         while step < total and (not cfg.lr_anneal_steps or step < cfg.lr_anneal_steps):
-            with logger.profile_kv("data"):
-                batch = self._put(next(self.data))
+            batch = next_batch
             self.state, metrics = self.step_fn(self.state, batch)
+            with logger.profile_kv("data"):
+                next_batch = self._put(next(self.data))
             step += 1
 
             if step % cfg.log_interval == 0:

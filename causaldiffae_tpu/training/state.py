@@ -74,26 +74,28 @@ def create_train_state(cfg, model, tx: optax.GradientTransformation, rng: jax.Ar
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    if cpu is not None and jax.default_backend() != "cpu":
-        with jax.default_device(cpu):
-            variables = model.init(
-                init_rngs, jax.device_put(x, cpu), jax.device_put(t, cpu),
-                train=True,
-                **{k: jax.device_put(v, cpu) for k, v in kwargs.items()},
-            )
-    else:
+    def build():
         variables = model.init(init_rngs, x, t, train=True, **kwargs)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    return TrainState(
-        step=jnp.zeros((), dtype=jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
-        ema_params={r: jax.tree_util.tree_map(jnp.copy, params) for r in ema_rates(cfg)},
-        sampler_state=init_sampler_state(cfg.schedule_sampler, cfg.diffusion_steps),
-        base_rng=jax.random.fold_in(rng, 7),
-    )
+        params = variables["params"]
+        # NB opt_state/EMA must be built under the SAME device context as
+        # params - a mixed CPU/TPU state breaks any jit over it later.
+        return TrainState(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            ema_params={r: jax.tree_util.tree_map(jnp.copy, params) for r in ema_rates(cfg)},
+            sampler_state=init_sampler_state(cfg.schedule_sampler, cfg.diffusion_steps),
+            base_rng=jax.random.fold_in(rng, 7),
+        )
+
+    if cpu is not None and jax.default_backend() != "cpu":
+        x = jax.device_put(x, cpu)
+        t = jax.device_put(t, cpu)
+        kwargs = {k: jax.device_put(v, cpu) for k, v in kwargs.items()}
+        with jax.default_device(cpu):
+            return build()
+    return build()
 
 
 def kl_weight_for_step(step: jnp.ndarray, total_steps: int,

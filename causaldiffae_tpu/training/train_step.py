@@ -167,11 +167,12 @@ def make_train_step(cfg, model, diffusion: GaussianDiffusion, tx: optax.Gradient
 
         metrics = {
             "loss": jnp.mean(jnp.broadcast_to(terms["loss"], (B,)) * weights),
-            "mse": jnp.mean(terms["mse"] * weights),
             "grad_norm": grad_norm,
             "param_norm": _global_norm(params),
             "kl_weight": kl_weight,
         }
+        if "mse" in terms:
+            metrics["mse"] = jnp.mean(terms["mse"] * weights)
         if cfg.skip_nonfinite:
             metrics["step_skipped"] = 1.0 - jnp.isfinite(grad_norm).astype(jnp.float32)
         if "kld_rep" in terms:
@@ -179,6 +180,8 @@ def make_train_step(cfg, model, diffusion: GaussianDiffusion, tx: optax.Gradient
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"] * weights)
         for key in ("loss", "mse"):
+            if key not in terms:
+                continue
             vals = jnp.broadcast_to(terms[key], (B,)) * weights
             for name, v in _quartile_means(t, vals, diffusion.num_timesteps).items():
                 metrics[f"{key}_{name}"] = v

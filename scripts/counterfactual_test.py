@@ -153,6 +153,8 @@ def main():
         logger.log(f"restored step {int(state.step)} from {args.ckpt_dir}")
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
+    # state is built/restored on host; run eval on the accelerator
+    variables = jax.device_put(variables, jax.devices()[0])
 
     scale = np.asarray(DATA_SCALES[dataset])
 

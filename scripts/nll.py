@@ -63,7 +63,9 @@ def main():
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
     if args.ckpt_dir:
         state = CheckpointManager(args.ckpt_dir).restore(state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}, jax.devices()[0]
+    )
 
     @jax.jit
     def bpd(x, cond_y, cond_c, z, rng):

@@ -51,7 +51,9 @@ def main():
         state = CheckpointManager(args.ckpt_dir).restore(state)
         logger.log(f"restored step {int(state.step)}")
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
-    variables = {"params": params, "batch_stats": state.batch_stats}
+    variables = jax.device_put(
+        {"params": params, "batch_stats": state.batch_stats}, jax.devices()[0]
+    )
 
     fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim),
                  static_argnums=1)

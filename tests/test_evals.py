@@ -197,3 +197,37 @@ def test_reconstruct_and_prior_sample(cf_setup):
     shape = (2, cfg.image_size, cfg.image_size, cfg.in_channels)
     out2 = prior(variables, shape, {"y": batch["y"][:2]}, jax.random.PRNGKey(4))
     assert out2.shape == shape
+
+
+def test_r2_linear_permutation_disentanglement():
+    """New metric family (reference metrics.py:248-506)."""
+    from causaldiffae_tpu.evals.metrics import (
+        linear_disentanglement,
+        permutation_disentanglement,
+        r2_disentanglement,
+    )
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(300, 3)
+    # hz = permuted + scaled latents -> perfect up to permutation/linear map
+    hz = z[:, [2, 0, 1]] * np.array([2.0, -1.5, 0.5])
+    (score, _), _ = linear_disentanglement(z, hz, mode="pearson")
+    assert score > 0.999
+    score_p = permutation_disentanglement(z, hz, mode="pearson", solver="munkres")
+    assert score_p[0] > 0.999
+    # r2 per-row mode runs
+    r2 = r2_disentanglement(z[:5], z[:5] + 1e-6, mode="r2")
+    assert r2 > 0.99
+
+
+def test_circuit_simplified_regime_mask():
+    from causaldiffae_tpu.data.loaders import _circuit_regime_mask
+
+    lat = np.array([
+        [0.9, 0.8, 0.1, 0.2],   # regime 1: arm .2, red>.5, green>.4, blue<.2
+        [0.9, 0.1, 0.1, 0.5],   # regime 2
+        [0.9, 0.1, 0.9, 0.8],   # regime 3
+        [0.1, 0.1, 0.1, 0.2],   # none (red too low)
+    ])
+    mask = _circuit_regime_mask(lat)
+    np.testing.assert_array_equal(mask, [True, True, True, False])

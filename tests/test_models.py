@@ -267,3 +267,26 @@ def test_superres_model():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, t, low_res=low, train=False)
     eps, aux = model.apply(variables, x, t, low_res=low, train=False)
     assert eps.shape == (2, 32, 32, 3)
+
+
+def test_remat_forward_and_grad():
+    """use_remat=True must produce identical outputs and finite grads."""
+    cfg = tiny_cfg()
+    cfg_r = tiny_cfg(use_remat=True)
+    model = create_model(cfg)
+    model_r = create_model(cfg_r)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 28, 1))
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(1)}
+    v = model.init(rngs, x, t, train=False)
+    # same params work in the remat variant (remat is structure-preserving)
+    eps, _ = model.apply(v, x, t, train=False)
+    eps_r, _ = model_r.apply(v, x, t, train=False)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps_r), atol=1e-6)
+
+    def loss(params):
+        e, _ = model_r.apply({"params": params}, x, t, train=False)
+        return jnp.sum(e ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
