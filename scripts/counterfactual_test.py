@@ -90,7 +90,11 @@ def main():
     parser.add_argument("--mode", choices=["causaldae", "diffae", "conditional"],
                         default="causaldae")
     parser.add_argument("--ckpt_dir", required=False, default=None)
-    parser.add_argument("--use_ema", action="store_true", default=True)
+    # NB the reference eval loads the RAW model checkpoint (model014000.pt),
+    # not the EMA one; at 0.9999 the EMA is still ~30% random init after 12k
+    # steps, so defaulting to raw matches both the reference and sanity.
+    parser.add_argument("--use_ema", type=lambda s: s.lower() in ("1", "true", "t", "y"),
+                        default=False)
     parser.add_argument("--data_dir", default="")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--num_samples", type=int, default=None)

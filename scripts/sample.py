@@ -22,7 +22,8 @@ def main():
     parser.add_argument("--num_samples", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--use_ddim", action="store_true")
-    parser.add_argument("--use_ema", action="store_true", default=True)
+    parser.add_argument("--use_ema", type=lambda s: s.lower() in ("1", "true", "t", "y"),
+                        default=False)
     parser.add_argument("--out_dir", default="/tmp/causaldiffae_samples")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
