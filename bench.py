@@ -113,6 +113,8 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in next(it).items()}
     tx = make_optimizer(cfg)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    # state is built on host CPU; pin to the chip so the step is pure-device
+    state = jax.device_put(state, jax.devices()[0])
     step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx), donate_argnums=0)
 
     # --- train throughput ---

@@ -145,3 +145,133 @@ def test_scm_parity(torch_model, flax_setup):
         ).numpy()
     z_post = model.apply(variables, jnp.asarray(mu), method=CausalUNet.causalize)
     np.testing.assert_allclose(np.asarray(z_post), z_post_ref, atol=1e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------- #
+# Diffusion-process parity: same betas + same fake model -> identical
+# p_mean_variance / DDIM steps / VLB terms / training losses.
+# --------------------------------------------------------------------- #
+import torch as th
+
+from causaldiffae_tpu.diffusion import create_diffusion
+
+
+class _FakeTorchModel:
+    """Deterministic eps 'model': eps = tanh(x) * cos(t/100)."""
+
+    def __call__(self, x, t, **kw):
+        out = th.tanh(x) * th.cos(t.float() / 100.0).view(-1, 1, 1, 1)
+        return out, None, None, None, None
+
+
+def _fake_jax_model(x, t):
+    import jax.numpy as jnp
+
+    return jnp.tanh(x) * jnp.cos(t.astype(jnp.float32) / 100.0).reshape(-1, 1, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def ref_diffusion():
+    from improved_diffusion import gaussian_diffusion as ref_gd
+    from improved_diffusion.respace import SpacedDiffusion
+    from improved_diffusion.respace import space_timesteps as ref_space
+
+    return SpacedDiffusion(
+        use_timesteps=ref_space(1000, "250"),
+        betas=ref_gd.get_named_beta_schedule("linear", 1000),
+        model_mean_type=ref_gd.ModelMeanType.EPSILON,
+        model_var_type=ref_gd.ModelVarType.FIXED_LARGE,
+        loss_type=ref_gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def our_diffusion():
+    return create_diffusion(steps=1000, timestep_respacing="250")
+
+
+def test_p_mean_variance_parity(ref_diffusion, our_diffusion):
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 1, 8, 8).astype(np.float32)
+    t = np.array([0, 10, 100, 249], dtype=np.int64)
+    ref = ref_diffusion.p_mean_variance(
+        _FakeTorchModel(), th.from_numpy(x), th.from_numpy(t), clip_denoised=True
+    )
+    # NHWC on our side
+    got = our_diffusion.p_mean_variance(
+        lambda xx, tt: _fake_jax_model(
+            xx.transpose(0, 3, 1, 2), tt).transpose(0, 2, 3, 1),
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t), clip_denoised=True,
+    )
+    for key in ("mean", "variance", "log_variance", "pred_xstart"):
+        r = ref[key].numpy()
+        # our fixed variances stay (B,1,1,1); the reference expands to x shape
+        ours = np.broadcast_to(np.asarray(got[key]).transpose(0, 3, 1, 2), r.shape)
+        np.testing.assert_allclose(ours, r, atol=2e-4, rtol=1e-4, err_msg=key)
+
+
+def test_ddim_step_parity_eta0(ref_diffusion, our_diffusion):
+    """eta=0 DDIM step is deterministic -> must match exactly."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 1, 8, 8).astype(np.float32)
+    for t_val in (5, 128, 249):
+        t = np.full((3,), t_val, dtype=np.int64)
+        ref = ref_diffusion.ddim_sample(
+            _FakeTorchModel(), th.from_numpy(x), th.from_numpy(t), eta=0.0
+        )["sample"].numpy()
+        got = our_diffusion.ddim_sample(
+            lambda xx, tt: _fake_jax_model(
+                xx.transpose(0, 3, 1, 2), tt).transpose(0, 2, 3, 1),
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+            jax.random.PRNGKey(0), eta=0.0,
+        )["sample"]
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), ref, atol=2e-4, rtol=1e-4,
+            err_msg=f"t={t_val}",
+        )
+
+
+def test_vb_terms_parity(ref_diffusion, our_diffusion):
+    rng = np.random.RandomState(2)
+    x0 = np.clip(rng.randn(2, 1, 8, 8) * 0.4, -1, 1).astype(np.float32)
+    xt = rng.randn(2, 1, 8, 8).astype(np.float32)
+    for t_val in (0, 77, 249):
+        t = np.full((2,), t_val, dtype=np.int64)
+        ref = ref_diffusion._vb_terms_bpd(
+            _FakeTorchModel(), th.from_numpy(x0), th.from_numpy(xt),
+            th.from_numpy(t), clip_denoised=False,
+        )["output"].numpy()
+        got = our_diffusion.vb_terms_bpd(
+            lambda xx, tt: _fake_jax_model(
+                xx.transpose(0, 3, 1, 2), tt).transpose(0, 2, 3, 1),
+            jnp.asarray(x0.transpose(0, 2, 3, 1)),
+            jnp.asarray(xt.transpose(0, 2, 3, 1)), jnp.asarray(t),
+            clip_denoised=False,
+        )["output"]
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"t={t_val}")
+
+
+def test_training_losses_parity(ref_diffusion, our_diffusion):
+    """Same provided noise -> identical mse/loss (non-rep path)."""
+    rng = np.random.RandomState(3)
+    x0 = np.clip(rng.randn(4, 1, 8, 8) * 0.4, -1, 1).astype(np.float32)
+    noise = rng.randn(4, 1, 8, 8).astype(np.float32)
+    t = np.array([3, 50, 180, 249], dtype=np.int64)
+    ref = ref_diffusion.training_losses(
+        _FakeTorchModel(), th.from_numpy(x0), th.from_numpy(t),
+        noise=th.from_numpy(noise),
+    )
+    got = our_diffusion.training_losses(
+        lambda xx, tt: (
+            _fake_jax_model(xx.transpose(0, 3, 1, 2), tt).transpose(0, 2, 3, 1),
+            {},
+        ),
+        jnp.asarray(x0.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        jax.random.PRNGKey(0), noise=jnp.asarray(noise.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(got["mse"]), ref["mse"].numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["loss"]), ref["loss"].numpy(),
+                               atol=1e-5, rtol=1e-4)
