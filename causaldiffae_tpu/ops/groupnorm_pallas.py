@@ -33,6 +33,8 @@ except Exception:  # pragma: no cover
 
 __all__ = ["fused_groupnorm_silu", "fits_vmem"]
 
+from .attention_pallas import _default_interpret
+
 VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
@@ -120,13 +122,13 @@ def fused_groupnorm_silu(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _default_interpret()
     return _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret)
 
 
 def _fwd(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret):
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _default_interpret()
     out = _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret)
     return out, (x, gamma, beta, scale, shift)
 

@@ -74,8 +74,12 @@ def create_train_state(cfg, model, tx: optax.GradientTransformation, rng: jax.Ar
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
+    # init runs on CPU where the Pallas TPU kernels can't compile; params are
+    # identical either way (the kernels are parameter-free), so init a clone
+    init_model = model.clone(use_pallas=False) if getattr(model, "use_pallas", False) else model
+
     def build():
-        variables = model.init(init_rngs, x, t, train=True, **kwargs)
+        variables = init_model.init(init_rngs, x, t, train=True, **kwargs)
         params = variables["params"]
         # NB opt_state/EMA must be built under the SAME device context as
         # params - a mixed CPU/TPU state breaks any jit over it later.
