@@ -13,6 +13,7 @@ The reference's ``DIFFUSION_TRAINING_TEST`` early-exit hook
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Dict, Iterator, Optional
 
@@ -74,10 +75,30 @@ class TrainLoop:
         world_batch = cfg.batch_size
         t_start = time.time()
         step = int(self.state.step)
+        # preemption tolerance (SURVEY §5.3): checkpoint on SIGTERM/SIGINT
+        # before exiting (Cloud TPU sends SIGTERM ahead of eviction)
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+
         # one batch in flight: issue the host->device transfer for batch k+1
         # while the device runs step k (device_put + step dispatch are async)
         next_batch = self._put(next(self.data))
         while step < total and (not cfg.lr_anneal_steps or step < cfg.lr_anneal_steps):
+            if preempted["flag"]:
+                logger.log("preemption signal received - checkpointing and exiting")
+                self.save()
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
+                return self.state
             batch = next_batch
             self.state, metrics = self.step_fn(self.state, batch)
             with logger.profile_kv("data"):
@@ -100,6 +121,8 @@ class TrainLoop:
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", "") and step > 0:
                     return self.state
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
         if self.ckpt is not None and step % cfg.save_interval != 0:
             self.save()
         return self.state

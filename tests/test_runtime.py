@@ -99,3 +99,32 @@ def test_train_loop_smoke_with_resume(tmp_path, monkeypatch):
     assert loop2.resume_step == 3
     state2 = loop2.run_loop()
     assert int(state2.step) == 6
+
+
+def test_preemption_signal_checkpoints(tmp_path):
+    """SIGTERM mid-loop -> checkpoint written, loop exits cleanly."""
+    import os
+    import signal
+    import threading
+
+    cfg = tiny_cfg(total_steps=10_000, save_interval=10_000)
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+    logger.configure(dir=str(tmp_path / "logs"), format_strs=["log"])
+    data = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=16)
+    loop = TrainLoop(cfg, model, diffusion, data,
+                     ckpt_dir=str(tmp_path / "ck"), use_mesh=False)
+    timer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    state = loop.run_loop()
+    timer.cancel()
+    assert int(state.step) < 10_000  # exited early
+    assert loop.ckpt.latest_step() == int(state.step)
+
+
+def test_gather_across_hosts_single_process():
+    from causaldiffae_tpu.parallel import gather_across_hosts, mean_across_hosts
+
+    x = np.arange(12).reshape(3, 4)
+    np.testing.assert_array_equal(gather_across_hosts(x), x)
+    assert mean_across_hosts(2.5) == 2.5
