@@ -126,3 +126,16 @@ def test_data_parallel_mesh_step_matches_single_device():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-4
     )
+
+
+def test_train_step_under_debug_nans():
+    """SURVEY §5.2: the normal path must be NaN-free under jax_debug_nans."""
+    cfg = tiny_cfg(batch_size=4)
+    _, _, state, step_fn, it = setup(cfg)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    jax.config.update("jax_debug_nans", True)
+    try:
+        state, metrics = jax.jit(step_fn)(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        jax.config.update("jax_debug_nans", False)
