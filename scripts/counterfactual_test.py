@@ -219,10 +219,10 @@ def main():
         # interventions edit the c vector, conditioning the context model
         from causaldiffae_tpu.diffusion import ddim_sample_loop
 
-        def gen(c_edit, x, rng):
+        def gen(c_edit, y_cond, x, rng):
             def model_fn(xx, tt):
-                return model.apply(variables, xx, tt, c=c_edit, train=False,
-                                   method=CausalUNet.denoise)
+                return model.apply(variables, xx, tt, y=y_cond, c=c_edit,
+                                   train=False, method=CausalUNet.denoise)
             noise = jax.random.normal(jax.random.fold_in(rng, 0), x.shape)
             t = jnp.full((x.shape[0],), cfg.abduction_t, dtype=jnp.int32)
             x_t = eval_diffusion.q_sample(x, t, noise)
@@ -263,7 +263,8 @@ def main():
             key = jax.random.PRNGKey(args.seed * 1000 + var_idx * 100 + b)
             if args.mode == "conditional":
                 c_edit = jnp.asarray(test_pool["c"][sel]).at[:, var_idx].set(norm_value)
-                samples = gen(c_edit, x, key)
+                y_cond = jnp.asarray(test_pool["y"][sel]) if cfg.class_cond else None
+                samples = gen(c_edit, y_cond, x, key)
             else:
                 samples = cf_fn(variables, x, cond, norm_value, key)
             samples = np.asarray(samples)
