@@ -139,3 +139,28 @@ def test_train_step_under_debug_nans():
         assert np.isfinite(float(metrics["loss"]))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_train_step_flow_based():
+    """flow_based=True: z_post from the causal flow, mask = -mean(log_det)
+    feeds the masked-KL reduction (reference unet.py:580-587 semantics)."""
+    cfg = tiny_cfg(flow_based=True, masking=False, batch_size=4)
+    _, _, state, step_fn, it = setup(cfg)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, metrics = jax.jit(step_fn)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["kld_rep"]))
+
+
+def test_train_step_learnable_adjacency():
+    """learn_adjacency=True: A is a zero-init parameter and receives grads."""
+    cfg = tiny_cfg(learn_adjacency=True, batch_size=4)
+    model, diffusion, state, step_fn, it = setup(cfg)
+    A0 = np.asarray(state.params["causal_mask"]["A"])
+    np.testing.assert_allclose(A0, 0.0)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    for i in range(2):
+        state, metrics = jax.jit(step_fn)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    A1 = np.asarray(state.params["causal_mask"]["A"])
+    assert not np.allclose(A1, 0.0)  # gradient flowed into A
