@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -113,19 +114,55 @@ class DenseT(nn.Module):
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32, output cast to input dtype.
 
-    Reference `nn.py:435-437,541-548`. The fused Pallas GN+SiLU(+scale-shift)
-    kernel in `ops/` replaces this on the hot path when enabled.
+    Reference `nn.py:435-437,541-548`. Owns its scale/bias params directly so
+    the ResBlock can route through the fused Pallas GN(+scale-shift)+SiLU
+    kernel with the same parameters; the default path is plain jnp (fp32
+    stats per (batch, group), eps 1e-5 - identical math to flax GroupNorm).
     """
 
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, emb_scale_shift=None, silu_after: bool = False,
+                 use_fused: bool = False):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return y.astype(orig_dtype)
+        B = x.shape[0]
+        hw = int(np.prod(x.shape[1:-1]))
+
+        if use_fused:
+            from ..ops.groupnorm_pallas import fits_vmem, fused_groupnorm_silu
+
+            if fits_vmem(hw, C, 4):
+                if emb_scale_shift is not None:
+                    ss, sh = emb_scale_shift
+                else:
+                    ss = sh = None
+                y = fused_groupnorm_silu(
+                    x.reshape(B, hw, C), scale, bias, ss, sh,
+                    self.num_groups, 1e-5, silu_after,
+                )
+                return y.reshape(x.shape).astype(orig_dtype)
+
+        # fp32 single-pass stats; normalize+affine in fp32, then cast back to
+        # the compute dtype BEFORE conditioning/SiLU (the bf16-traffic path
+        # the reference effectively runs: GroupNorm32 cast at nn.py:435-437,
+        # scale-shift in compute dtype at unet.py:190-194)
+        x32 = x.astype(jnp.float32).reshape(B, hw, self.num_groups, C // self.num_groups)
+        mean = x32.mean(axis=(1, 3), keepdims=True)
+        msq = (x32 * x32).mean(axis=(1, 3), keepdims=True)
+        inv = jax.lax.rsqrt(msq - mean * mean + 1e-5)
+        y = ((x32 - mean) * inv).reshape(B, hw, C)
+        y = y * scale[None, None, :] + bias[None, None, :]
+        y = y.astype(orig_dtype)
+        if emb_scale_shift is not None:
+            ss, sh = emb_scale_shift
+            y = y * (1 + ss.astype(orig_dtype)[:, None, :]) + sh.astype(orig_dtype)[:, None, :]
+        if silu_after:
+            y = y * jax.nn.sigmoid(y)
+        return y.reshape(x.shape)
 
 
 def silu(x):
@@ -176,30 +213,34 @@ class ResBlock(nn.Module):
     use_conv: bool = False
     use_scale_shift_norm: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         out_ch = self.out_channels or self.channels
+        # NB measured on v5e: routing GN through the fused Pallas kernel is a
+        # REGRESSION here (97ms vs 80ms/step) - the custom-VJP boundary stops
+        # XLA fusing GN into neighbors and the backward recompute adds full
+        # extra passes. The kernel stays available in ops/ for inference-only
+        # or larger-C use; the ResBlock keeps the XLA path.
+        fused = False
 
-        h = GroupNorm32()(x)
-        h = silu(h)
+        h = GroupNorm32()(x, silu_after=True, use_fused=fused)
         h = Conv3x3(out_ch, dtype=self.dtype)(h)
 
         emb_out = DenseT(
             2 * out_ch if self.use_scale_shift_norm else out_ch, dtype=self.dtype
         )(silu(emb)).astype(h.dtype)
-        emb_out = emb_out[:, None, None, :]
 
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32()(h) * (1 + scale) + shift
-            h = silu(h)
+            scale, shift = jnp.split(emb_out, 2, axis=-1)  # [B, C] each
+            h = GroupNorm32()(h, emb_scale_shift=(scale, shift), silu_after=True,
+                              use_fused=fused)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = Conv3x3(out_ch, zero_init=True, dtype=self.dtype)(h)
         else:
-            h = h + emb_out
-            h = GroupNorm32()(h)
-            h = silu(h)
+            h = h + emb_out[:, None, None, :]
+            h = GroupNorm32()(h, silu_after=True, use_fused=fused)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = Conv3x3(out_ch, zero_init=True, dtype=self.dtype)(h)
 

@@ -124,6 +124,7 @@ class CausalUNet(nn.Module):
                 out_channels=ch_out,
                 use_scale_shift_norm=self.use_scale_shift_norm,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )
 
         def attn(ch, heads):
@@ -210,7 +211,7 @@ class CausalUNet(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_seq(blocks, h, emb, train)
         h = h.astype(x.dtype)
-        return self.out_conv(silu(self.out_norm(h)))
+        return self.out_conv(self.out_norm(h, silu_after=True))
 
     def encode(self, x_start, *, train: bool = False):
         """Semantic encoder q(u|x0) -> (mu, var)."""

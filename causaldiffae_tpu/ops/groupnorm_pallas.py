@@ -48,17 +48,24 @@ def _kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
     x = x_ref[0].astype(jnp.float32)            # [HW, C]
     HW, C = x.shape
     cg = C // num_groups
-    xg = x.reshape(HW, num_groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2))            # [G]
-    var = jnp.mean(jnp.square(xg), axis=(0, 2)) - jnp.square(mean)
-    inv = jax.lax.rsqrt(var + eps)              # [G]
-    inv_c = jnp.repeat(inv, cg)                  # [C]
-    mean_c = jnp.repeat(mean, cg)                # [C]
-    y = (x - mean_c[None, :]) * inv_c[None, :]
-    y = y * gamma_ref[0][None, :] + beta_ref[0][None, :]
+    # group statistics via one-hot matmuls - Mosaic can't reshape/repeat
+    # across the lane dimension, but tiny (1,C)@(C,G) dots are fine
+    chan = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    M = (chan // cg == grp).astype(jnp.float32)  # [C, G] one-hot membership
+    cnt = float(HW * cg)
+    col_sum = jnp.sum(x, axis=0, keepdims=True)          # [1, C]
+    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)    # [1, C]
+    g_mean = jnp.dot(col_sum, M, preferred_element_type=jnp.float32) / cnt    # [1, G]
+    g_msq = jnp.dot(col_sumsq, M, preferred_element_type=jnp.float32) / cnt   # [1, G]
+    inv = jax.lax.rsqrt(g_msq - g_mean * g_mean + eps)   # [1, G]
+    mean_c = jnp.dot(g_mean, M.T, preferred_element_type=jnp.float32)         # [1, C]
+    inv_c = jnp.dot(inv, M.T, preferred_element_type=jnp.float32)             # [1, C]
+    y = (x - mean_c) * inv_c
+    y = y * gamma_ref[0, 0][None, :] + beta_ref[0, 0][None, :]
     if with_cond:
-        y = y * (1.0 + scale_ref[0].astype(jnp.float32)[None, :]) \
-            + shift_ref[0].astype(jnp.float32)[None, :]
+        y = y * (1.0 + scale_ref[0, 0].astype(jnp.float32)[None, :]) \
+            + shift_ref[0, 0].astype(jnp.float32)[None, :]
     if with_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -87,8 +94,12 @@ def _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret
     if scale is None:
         scale = jnp.zeros((B, C), dtype=x.dtype)
         shift = jnp.zeros((B, C), dtype=x.dtype)
-    gamma2 = jnp.broadcast_to(gamma.astype(jnp.float32)[None, :], (1, C))
-    beta2 = jnp.broadcast_to(beta.astype(jnp.float32)[None, :], (1, C))
+    # per-channel vectors carried as [*, 1, C] so block last-two dims are
+    # (1, C) - valid TPU tiling (second-to-last equals the array dim)
+    gamma3 = gamma.astype(jnp.float32).reshape(1, 1, C)
+    beta3 = beta.astype(jnp.float32).reshape(1, 1, C)
+    scale3 = scale.reshape(B, 1, C)
+    shift3 = shift.reshape(B, 1, C)
     mem = _VMEM if (_VMEM and not interpret) else None
     return pl.pallas_call(
         functools.partial(
@@ -99,14 +110,14 @@ def _forward(x, gamma, beta, scale, shift, num_groups, eps, with_silu, interpret
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=mem),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=mem),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=mem),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, C), lambda b: (0, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, C), lambda b: (0, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=mem),
         ],
         out_specs=pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=mem),
         interpret=interpret,
-    )(x, gamma2, beta2, scale, shift)
+    )(x, gamma3, beta3, scale3, shift3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))

@@ -69,10 +69,10 @@ def _flatten_perm_linear(sd, prefix, channels, spatial):
 
 def _resblock(sd, prefix, has_skip):
     p = {
-        "GroupNorm32_0": {"GroupNorm_0": _norm(sd, f"{prefix}.in_layers.0")},
+        "GroupNorm32_0": _norm(sd, f"{prefix}.in_layers.0"),
         "Conv3x3_0": {"Conv_0": _conv2d(sd, f"{prefix}.in_layers.2")},
         "DenseT_0": {"Dense_0": _linear(sd, f"{prefix}.emb_layers.1")},
-        "GroupNorm32_1": {"GroupNorm_0": _norm(sd, f"{prefix}.out_layers.0")},
+        "GroupNorm32_1": _norm(sd, f"{prefix}.out_layers.0"),
         "Conv3x3_1": {"Conv_0": _conv2d(sd, f"{prefix}.out_layers.3")},
     }
     if has_skip:
@@ -84,7 +84,7 @@ def _resblock(sd, prefix, has_skip):
 
 def _attention(sd, prefix):
     return {
-        "GroupNorm32_0": {"GroupNorm_0": _norm(sd, f"{prefix}.norm")},
+        "GroupNorm32_0": _norm(sd, f"{prefix}.norm"),
         "DenseT_0": {"Dense_0": _conv1d_as_dense(sd, f"{prefix}.qkv")},
         "DenseT_1": {"Dense_0": _conv1d_as_dense(sd, f"{prefix}.proj_out")},
     }
@@ -211,7 +211,7 @@ def port_torch_state_dict(cfg, sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
             port_seq(f"output_blocks_{idx}", f"output_blocks.{idx}", kinds, params)
             idx += 1
 
-    params["out_norm"] = {"GroupNorm_0": _norm(sd, "out.0")}
+    params["out_norm"] = _norm(sd, "out.0")
     params["out_conv"] = {"Conv_0": _conv2d(sd, "out.2")}
 
     variables: Dict[str, Any] = {"params": params}
