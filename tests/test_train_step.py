@@ -106,26 +106,67 @@ def test_loss_second_moment_sampler_state_updates():
 
 
 def test_data_parallel_mesh_step_matches_single_device():
-    """The 8-device mesh step must execute and keep params replicated."""
+    """Multi-step DP equivalence: mesh training must match single-device
+    training in FULL updated parameter trees (not just a loss scalar), and
+    the replicated state must stay bitwise-identical across device shards -
+    the replica-divergence bug class the reference's unverified sync_params
+    no-op (`dist_util.py:67-74`) could never catch.
+    """
     cfg = tiny_cfg(batch_size=16)
     model, diffusion, state, step_fn, it = setup(cfg)
     mesh = make_mesh()
     assert mesh.devices.size == 8
-    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    batches = [{k: jnp.asarray(v) for k, v in next(it).items()} for _ in range(3)]
 
     rep = replicated(mesh)
-    state = jax.device_put(state, rep)
-    sharded_batch = shard_batch(mesh, batch)
+    mesh_state = jax.device_put(state, rep)
+    single_state = jax.device_put(state, jax.devices("cpu")[0])
     step_jit = jax.jit(step_fn)
-    new_state, metrics = step_jit(state, sharded_batch)
-    assert np.isfinite(float(metrics["loss"]))
-    # and the same batch through an unsharded step gives the same loss
-    state1 = jax.device_put(state, jax.devices("cpu")[0])
-    batch1 = jax.device_put(batch, jax.devices("cpu")[0])
-    _, metrics1 = jax.jit(step_fn)(state1, batch1)
-    np.testing.assert_allclose(
-        float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-4
+
+    for i, batch in enumerate(batches):
+        mesh_state, m_metrics = step_jit(mesh_state, shard_batch(mesh, batch))
+        single_state, s_metrics = step_jit(
+            single_state, jax.device_put(batch, jax.devices("cpu")[0])
+        )
+        np.testing.assert_allclose(
+            float(m_metrics["loss"]), float(s_metrics["loss"]), rtol=1e-4,
+            err_msg=f"loss diverged at step {i}",
+        )
+
+    assert int(mesh_state.step) == 3
+    # full param-tree equivalence after 3 optimizer updates (reduction-order
+    # float noise -> tolerance, but any grad-reduction bug is far larger)
+    flat_mesh = jax.tree_util.tree_leaves_with_path(jax.device_get(mesh_state.params))
+    flat_single = dict(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(single_state.params))
     )
+    for path, leaf in flat_mesh:
+        np.testing.assert_allclose(
+            leaf, flat_single[path], atol=2e-4, rtol=2e-3,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+    # EMA trees must match too (they are updated inside the jitted step)
+    for rate, tree in mesh_state.ema_params.items():
+        flat_e = jax.tree_util.tree_leaves_with_path(jax.device_get(tree))
+        flat_se = dict(jax.tree_util.tree_leaves_with_path(
+            jax.device_get(single_state.ema_params[rate])))
+        for path, leaf in flat_e:
+            np.testing.assert_allclose(
+                leaf, flat_se[path], atol=2e-4, rtol=2e-3,
+                err_msg=f"ema[{rate}] mismatch at {jax.tree_util.keystr(path)}",
+            )
+    # replica identity: every device shard of the replicated params must be
+    # BITWISE identical
+    for path, leaf in jax.tree_util.tree_leaves_with_path(mesh_state.params):
+        shards = leaf.addressable_shards
+        assert len(shards) == 8
+        ref_data = np.asarray(shards[0].data)
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(
+                ref_data, np.asarray(sh.data),
+                err_msg=f"replica divergence at {jax.tree_util.keystr(path)} "
+                        f"(device {sh.device})",
+            )
 
 
 def test_train_step_under_debug_nans():
