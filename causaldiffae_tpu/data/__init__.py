@@ -12,6 +12,7 @@ from .simulators import (
 )
 from .loaders import (
     batch_iterator,
+    make_data_iterator,
     load_circuit,
     load_data,
     load_idx,

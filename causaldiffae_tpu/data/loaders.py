@@ -36,7 +36,8 @@ import numpy as np
 from ..config import DATA_SCALES
 
 __all__ = ["load_idx", "save_idx", "load_morphomnist", "load_pendulum",
-           "load_circuit", "load_image_folder", "batch_iterator", "load_data"]
+           "load_circuit", "load_image_folder", "batch_iterator",
+           "make_data_iterator", "load_data"]
 
 
 # --------------------------------------------------------------------- #
@@ -201,11 +202,74 @@ def batch_iterator(data: Dict[str, np.ndarray], batch_size: int, seed: int = 0,
             yield {k: v[sel] for k, v in data.items()}
 
 
+def _uint8_pool(images: np.ndarray):
+    """Recover the 8-bit source grid from normalized float images.
+
+    Returns ``(u8, scale, offset)`` with ``u8 * scale + offset == images``
+    (to float32 rounding), or None when the images do not sit exactly on an
+    8-bit grid. All four real loaders decode 8-bit sources, so this is exact
+    for them; the [-1,1] folder path uses scale 1/127.5.
+    """
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        return images, 1.0 / 255.0, 0.0
+    if float(images.min()) < 0.0:
+        scale, offset = 1.0 / 127.5, -1.0
+    else:
+        scale, offset = 1.0 / 255.0, 0.0
+    u8f = np.rint((images - offset) / scale)
+    if float(u8f.min()) < 0 or float(u8f.max()) > 255:
+        return None
+    u8 = u8f.astype(np.uint8)
+    # verify exactness on a bounded random sample (full pass is wasteful for
+    # multi-GB pools; any non-quantized pool fails on essentially any sample)
+    rng = np.random.RandomState(0)
+    sel = rng.randint(0, len(images), size=min(len(images), 256))
+    recon = u8[sel].astype(np.float32) * np.float32(scale) + np.float32(offset)
+    if not np.allclose(recon, images[sel], atol=2e-6):
+        return None
+    return u8, scale, offset
+
+
+def make_data_iterator(data: Dict[str, np.ndarray], batch_size: int, seed: int = 0,
+                       shuffle: bool = True, native: Optional[bool] = None,
+                       threads: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+    """Batch iterator with automatic native-C++ prefetch routing.
+
+    When the native loader is built (`native/fastloader.cpp`) and the image
+    pool sits on an 8-bit grid, batches are assembled + normalized on C++
+    worker threads with one batch always prefetched (uint8 pool = 4x less
+    host RAM, no GIL in the feed path). Falls back to the numpy
+    `batch_iterator` otherwise. ``native=False`` forces the numpy path,
+    ``native=True`` raises if the native path cannot be used.
+    """
+    from .native_loader import NativeBatchIterator, native_available
+
+    if native is not False and shuffle:
+        if native_available():
+            pool = _uint8_pool(data["image"])
+            if pool is not None:
+                u8, scale, offset = pool
+                return NativeBatchIterator(
+                    u8, batch_size, c=data.get("c"), y=data.get("y"),
+                    scale=scale, offset=offset, seed=seed, threads=threads,
+                )
+            if native:
+                raise ValueError("images are not 8-bit-quantized; "
+                                 "native loader cannot serve this pool")
+        elif native:
+            raise RuntimeError("native loader unavailable (no compiler?)")
+    return batch_iterator(data, batch_size, seed=seed, shuffle=shuffle)
+
+
 def load_data(*, data_dir: str, batch_size: int, image_size: int,
               class_cond: bool = False, split: str = "train",
-              deterministic: bool = False, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+              deterministic: bool = False, seed: int = 0,
+              native: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
     """Dispatcher keyed on the directory name (reference `image_datasets.py:69-126`),
-    with per-process sharding for multi-host training."""
+    with per-process sharding for multi-host training. The training feed goes
+    through the native C++ prefetch loader when available (see
+    `make_data_iterator`)."""
     if not data_dir:
         raise ValueError("unspecified data directory")
     shard, num_shards = _proc_shard()
@@ -218,4 +282,5 @@ def load_data(*, data_dir: str, batch_size: int, image_size: int,
     else:
         data = load_image_folder(data_dir, image_size, class_cond=class_cond)
     data = _shard(data, shard, num_shards)
-    return batch_iterator(data, batch_size, seed=seed, shuffle=not deterministic)
+    return make_data_iterator(data, batch_size, seed=seed,
+                              shuffle=not deterministic, native=native)

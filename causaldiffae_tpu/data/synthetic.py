@@ -33,9 +33,28 @@ def _normalize(c_raw: np.ndarray, dataset: str) -> np.ndarray:
     return ((c_raw - scale[:, 0]) / scale[:, 1]).astype(np.float32)
 
 
+def _quantize8(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Snap rendered images onto the 8-bit grid (u8/255).
+
+    Every real source the reference trains on is 8-bit (MNIST IDX, PNG
+    frames); quantizing the synthetic renders the same way keeps the
+    synthetic distribution realistic AND lets the native C++ loader serve a
+    uint8 pool with fused normalization (`loaders.make_data_iterator`).
+    """
+    img = data["image"]
+    data["image"] = (np.rint(img * 255.0).astype(np.uint8).astype(np.float32)
+                     / np.float32(255.0))
+    return data
+
+
 def synthetic_dataset(dataset: str, n: int, seed: int = 0,
                       image_size: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Materialize n samples of a synthetic workload."""
+    """Materialize n samples of a synthetic workload (8-bit-grid images)."""
+    return _quantize8(_synthetic_dataset_raw(dataset, n, seed, image_size))
+
+
+def _synthetic_dataset_raw(dataset: str, n: int, seed: int = 0,
+                           image_size: Optional[int] = None) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
     if dataset == "morphomnist":
         thickness = rng.uniform(0.7, 5.8, size=n)
@@ -62,12 +81,14 @@ def synthetic_dataset(dataset: str, n: int, seed: int = 0,
 
 
 def synthetic_iterator(dataset: str, batch_size: int, seed: int = 0,
-                       image_size: Optional[int] = None,
-                       pool: int = 4096) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite batch iterator over a fixed synthetic pool (shuffled)."""
+                       image_size: Optional[int] = None, pool: int = 4096,
+                       native: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite shuffled batch iterator over a fixed synthetic pool.
+
+    Served by the native C++ prefetch loader when available (uint8 pool +
+    fused normalize on worker threads); numpy fallback otherwise.
+    """
+    from .loaders import make_data_iterator
+
     data = synthetic_dataset(dataset, pool, seed=seed, image_size=image_size)
-    n = data["image"].shape[0]
-    rng = np.random.RandomState(seed + 1)
-    while True:
-        idx = rng.randint(0, n, size=batch_size)
-        yield {k: v[idx] for k, v in data.items()}
+    return make_data_iterator(data, batch_size, seed=seed + 1, native=native)

@@ -58,3 +58,83 @@ def test_prefetch_iterator_batches():
     it.close()
     # shuffling: not all batches identical
     assert len({round(float(s), 3) for s in seen}) > 1
+
+
+# --------------------------------------------------------------------- #
+# wiring: make_data_iterator routes the training feed through the native
+# loader (VERDICT round-1 item 2)
+# --------------------------------------------------------------------- #
+def test_make_data_iterator_routes_native():
+    from causaldiffae_tpu.data import make_data_iterator, synthetic_dataset
+
+    data = synthetic_dataset("morphomnist", 64, seed=0)
+    it = make_data_iterator(data, 16, seed=0)
+    assert isinstance(it, NativeBatchIterator)
+    b = next(it)
+    assert b["image"].shape == (16, 28, 28, 1) and b["image"].dtype == np.float32
+    assert b["y"].shape == (16,) and b["c"].shape == (16, 2)
+    # native-normalized pixels must reproduce the float pool values
+    flat = data["image"].reshape(64, -1)
+    for row in b["image"].reshape(16, -1)[:4]:
+        assert np.abs(flat - row).sum(axis=1).min() < 1e-4
+    it.close()
+
+
+def test_make_data_iterator_numpy_fallbacks():
+    from causaldiffae_tpu.data import make_data_iterator
+    from causaldiffae_tpu.data.loaders import _uint8_pool
+
+    # non-quantized images -> silent numpy fallback (native=None)
+    rng = np.random.RandomState(0)
+    data = {"image": rng.rand(32, 8, 8, 1).astype(np.float32)}
+    assert _uint8_pool(data["image"]) is None
+    it = make_data_iterator(data, 8, seed=0)
+    assert not isinstance(it, NativeBatchIterator)
+    assert next(it)["image"].shape == (8, 8, 8, 1)
+    # ...but native=True must refuse instead of silently degrading
+    with pytest.raises(ValueError):
+        make_data_iterator(data, 8, native=True)
+    # deterministic order requires the numpy path
+    q = (np.rint(data["image"] * 255) / np.float32(255.0)).astype(np.float32)
+    it2 = make_data_iterator({"image": q}, 8, shuffle=False)
+    assert not isinstance(it2, NativeBatchIterator)
+    np.testing.assert_allclose(next(it2)["image"], q[:8])
+
+
+def test_uint8_pool_roundtrip_both_scalings():
+    from causaldiffae_tpu.data.loaders import _uint8_pool
+
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, size=(50, 4, 4, 3), dtype=np.uint8)
+    # [0, 1] grid
+    x01 = u8.astype(np.float32) / 255.0
+    pool = _uint8_pool(x01)
+    assert pool is not None
+    got, scale, offset = pool
+    np.testing.assert_array_equal(got, u8)
+    assert (scale, offset) == (1.0 / 255.0, 0.0)
+    # [-1, 1] grid (the folder-loader path)
+    x11 = u8.astype(np.float32) / 127.5 - 1.0
+    pool = _uint8_pool(x11)
+    assert pool is not None
+    got, scale, offset = pool
+    np.testing.assert_array_equal(got, u8)
+    assert (scale, offset) == (1.0 / 127.5, -1.0)
+
+
+def test_synthetic_iterator_native_matches_pool():
+    from causaldiffae_tpu.data import synthetic_iterator
+
+    it = synthetic_iterator("morphomnist", 8, seed=0, pool=32)
+    b = next(it)
+    assert b["image"].shape == (8, 28, 28, 1)
+    assert set(b) == {"image", "y", "c"}
+    # numpy-forced path yields the same value space (8-bit grid)
+    it_np = synthetic_iterator("morphomnist", 8, seed=0, pool=32, native=False)
+    b_np = next(it_np)
+    assert b_np["image"].shape == (8, 28, 28, 1)
+    for arr in (b["image"], b_np["image"]):
+        np.testing.assert_allclose(
+            arr, np.rint(arr * 255) / 255.0, atol=2e-6,
+            err_msg="images off the 8-bit grid",
+        )
