@@ -205,3 +205,15 @@ def test_train_step_learnable_adjacency():
     assert np.isfinite(float(metrics["loss"]))
     A1 = np.asarray(state.params["causal_mask"]["A"])
     assert not np.allclose(A1, 0.0)  # gradient flowed into A
+
+
+def test_train_step_learn_sigma():
+    """learn_sigma=True end to end: 2C-channel UNet output, vb term in the
+    loss (frozen-mean split), finite step."""
+    cfg = tiny_cfg(learn_sigma=True, batch_size=4)
+    _, _, state, step_fn, it = setup(cfg)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, metrics = jax.jit(step_fn)(state, batch)
+    assert "vb" in metrics and np.isfinite(float(metrics["vb"]))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
