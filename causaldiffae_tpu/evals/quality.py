@@ -16,7 +16,9 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 from scipy import linalg
 
-__all__ = ["activation_statistics", "frechet_distance", "FID", "pixel_feature_fn"]
+__all__ = ["activation_statistics", "frechet_distance", "FID",
+           "pixel_feature_fn", "classifier_feature_fn", "inception_feature_fn",
+           "default_feature_fn"]
 
 
 def activation_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -55,6 +57,89 @@ def pixel_feature_fn(size: int = 8) -> Callable[[np.ndarray], np.ndarray]:
         x = x.reshape(B, size, fh, size, fw).mean(axis=(2, 4))
         return x.reshape(B, -1)
     return fn
+
+
+def classifier_feature_fn(model, variables, batch_size: int = 64) -> Callable[[np.ndarray], np.ndarray]:
+    """Learned deep features from a trained anti-causal classifier trunk.
+
+    The reference computes FID over InceptionV3 activations
+    (`quality_metrics.py:9-43`); on an air-gapped pod the pretrained
+    Inception weights cannot be downloaded, so the feature extractor is the
+    Conv-BN-LeakyReLU trunk of a classifier trained on the same dataset
+    (`models/encoder.GaussianConvEncoderClf.features`) - a learned,
+    dataset-appropriate deep feature space with the same Frechet machinery.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.encoder import GaussianConvEncoderClf
+
+    @jax.jit
+    def feats(x):
+        return model.apply(variables, x, train=False,
+                           method=GaussianConvEncoderClf.features)
+
+    def fn(images: np.ndarray) -> np.ndarray:
+        out = []
+        n = len(images)
+        for i in range(0, n, batch_size):
+            out.append(np.asarray(feats(jnp.asarray(images[i:i + batch_size]))))
+        return np.concatenate(out, axis=0)
+
+    return fn
+
+
+def inception_feature_fn(weights_path: Optional[str] = None,
+                         batch_size: int = 32) -> Callable[[np.ndarray], np.ndarray]:
+    """InceptionV3 pool3 features (the published-FID feature space).
+
+    Requires torchvision plus a local weights file (no network egress on a
+    pod); raises with a clear message when either is missing. Mirrors the
+    torchmetrics `FrechetInceptionDistance(feature=2048)` configuration the
+    reference instantiates (`image_causaldae_test.py:38`).
+    """
+    try:
+        import torch
+        from torchvision.models import inception_v3
+    except ImportError as e:
+        raise RuntimeError(
+            "inception FID requires torchvision; use classifier_feature_fn "
+            "(trained-trunk features) on air-gapped hosts"
+        ) from e
+    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
+    if weights_path:
+        net.load_state_dict(torch.load(weights_path, map_location="cpu"))
+    net.fc = torch.nn.Identity()
+    net.eval()
+
+    def fn(images: np.ndarray) -> np.ndarray:
+        x = np.asarray(images, dtype=np.float32)
+        if x.shape[-1] in (1, 3, 4):  # NHWC -> NCHW
+            x = x.transpose(0, 3, 1, 2)
+        if x.shape[1] == 1:
+            x = np.repeat(x, 3, axis=1)
+        out = []
+        with torch.no_grad():
+            for i in range(0, len(x), batch_size):
+                xb = torch.from_numpy(x[i:i + batch_size])
+                xb = torch.nn.functional.interpolate(
+                    xb, size=(299, 299), mode="bilinear", align_corners=False
+                )
+                out.append(net(xb).numpy())
+        return np.concatenate(out, axis=0)
+
+    return fn
+
+
+def default_feature_fn(classifier_model=None, classifier_variables=None,
+                       inception_weights: Optional[str] = None):
+    """Best-available feature extractor: Inception (local weights) >
+    classifier trunk > avg-pooled pixels."""
+    if inception_weights:
+        return inception_feature_fn(inception_weights)
+    if classifier_model is not None:
+        return classifier_feature_fn(classifier_model, classifier_variables)
+    return pixel_feature_fn()
 
 
 class FID:

@@ -95,5 +95,10 @@ class GaussianConvEncoderClf(nn.Module):
         self.fc = DenseT(1, dtype=jnp.float32)
 
     def __call__(self, x, *, train: bool = False):
-        h = self.trunk(x, train=train).astype(jnp.float32)
-        return self.fc(h)
+        return self.fc(self.features(x, train=train))
+
+    def features(self, x, *, train: bool = False):
+        """Penultimate (trunk) activations - the learned deep feature space
+        used for FID when InceptionV3 weights are unavailable
+        (`evals/quality.classifier_feature_fn`)."""
+        return self.trunk(x, train=train).astype(jnp.float32)

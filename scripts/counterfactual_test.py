@@ -35,10 +35,13 @@ VAR_NAMES = {
     "pendulum": ["angle", "light", "shadow_len", "shadow_pos"],
     "circuit": ["arm", "blue", "green", "red"],
 }
-# raw intervention ranges (dataset units) per variable
+# raw intervention ranges (dataset units) per variable. Effect variables
+# (pendulum shadow_len/shadow_pos) are intervened through the z_post path
+# (`image_causaldae_test.py:445-453`); ranges from the reference's sweep
+# values (`:541-542` - uniform(3, 9) / uniform(3, 15)).
 INTERVENTION_RANGES = {
     "morphomnist": [(1.0, 5.5), (64, 250)],
-    "pendulum": [(-40, 44), (60, 148), None, None],   # None: effect-only vars
+    "pendulum": [(-40, 44), (60, 148), (3, 9), (3, 15)],
     "circuit": [(0.0, 1.0), (0.0, 1.0), (0.0, 1.0), (0.0, 1.0)],
 }
 
@@ -104,6 +107,17 @@ def main():
     parser.add_argument("--classifier_dir", default="")
     parser.add_argument("--out_dir", default="/tmp/causaldiffae_eval")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--compute_fid", action="store_true",
+                        help="FID(real test images, generated counterfactuals) "
+                             "over trained classifier-trunk features")
+    parser.add_argument("--inception_weights", default="",
+                        help="local InceptionV3 weights file for published-FID "
+                             "features (requires torchvision)")
+    parser.add_argument("--traversal", action="store_true",
+                        help="save per-variable latent-traversal grids "
+                             "(reference image_causaldae_test.py:500-520)")
+    parser.add_argument("--no_recon", action="store_true",
+                        help="skip the reconstruction grid")
     args = parser.parse_args()
 
     import jax
@@ -113,7 +127,11 @@ def main():
     from causaldiffae_tpu.data import load_data, synthetic_dataset
     from causaldiffae_tpu.evals import (
         ClassifierTrainer, compute_dci, load_classifier, classifier_predict_fn,
-        make_counterfactual_fn,
+        make_counterfactual_fn, make_reconstruct_fn,
+    )
+    from causaldiffae_tpu.evals.quality import FID, default_feature_fn
+    from causaldiffae_tpu.parallel import (
+        gather_across_hosts, is_primary_host, mean_across_hosts,
     )
     from causaldiffae_tpu.models.unet import CausalUNet
     from causaldiffae_tpu.training import create_train_state, make_optimizer
@@ -191,14 +209,11 @@ def main():
     # ---------------- effectiveness branch ---------------- #
     # anti-causal classifiers: load if provided, else quick-train on the pool
     n_factors = len(VAR_NAMES[dataset])
-    predictors = []
+    predictors, clf_mv = [], []
     for f in range(n_factors):
         path = os.path.join(args.classifier_dir or args.out_dir,
                             f"classifier_{dataset}_{VAR_NAMES[dataset][f]}.pkl")
-        if os.path.exists(path):
-            m, v, _ = load_classifier(path, cfg.n_vars)
-            predictors.append(classifier_predict_fn(m, v))
-        else:
+        if not os.path.exists(path):
             logger.log(f"training anti-causal classifier for {VAR_NAMES[dataset][f]}...")
             tr = ClassifierTrainer(dataset, f, cfg.n_vars, seed=args.seed)
             n = len(train_pool["image"])
@@ -207,13 +222,47 @@ def main():
                    {k: v[cut:] for k, v in train_pool.items()},
                    epochs=20, batch_size=64, log_every=10)
             tr.save_best(path)
-            m, v, _ = load_classifier(path, cfg.n_vars)
-            predictors.append(classifier_predict_fn(m, v))
+        m, v, _ = load_classifier(path, cfg.n_vars)
+        predictors.append(classifier_predict_fn(m, v))
+        clf_mv.append((m, v))
+
+    fid = None
+    if args.compute_fid:
+        fid = FID(default_feature_fn(
+            classifier_model=clf_mv[0][0], classifier_variables=clf_mv[0][1],
+            inception_weights=args.inception_weights or None,
+        ))
+        fid.update(np.clip(test_pool["image"][:num_samples * 2], 0, 1), real=True)
 
     rng_np = np.random.RandomState(args.seed)
     w = cfg.guidance_w
     mae = {name: [] for name in VAR_NAMES[dataset]}
     n_batches = max(num_samples // args.batch_size, 1)
+
+    # fixed probe batch for reconstruction / traversal grids
+    probe_sel = rng_np.randint(0, len(test_pool["image"]), args.batch_size)
+    probe_x = jnp.asarray(test_pool["image"][probe_sel])
+    probe_cond = {}
+    if cfg.class_cond:
+        probe_cond["y"] = jnp.asarray(test_pool["y"][probe_sel])
+    if cfg.context_cond:
+        probe_cond["c"] = jnp.asarray(test_pool["c"][probe_sel])
+
+    if not args.no_recon and args.mode != "conditional":
+        # reconstruction grid: originals (top rows) above reconstructions
+        # (reference `image_causaldae_test.py:484-498`)
+        recon_fn = jax.jit(make_reconstruct_fn(
+            cfg, model, eval_diffusion, use_ddim=cfg.eval_use_ddim, w=w))
+        recon = np.asarray(recon_fn(variables, probe_x, probe_cond,
+                                    jax.random.PRNGKey(args.seed + 7)))
+        k = min(8, len(recon))
+        pair = np.concatenate([np.asarray(probe_x)[:k], recon[:k]], axis=0)
+        if is_primary_host():
+            save_grid(pair, os.path.join(args.out_dir, "reconstructions.png"), ncol=k)
+            np.savez(os.path.join(args.out_dir, "reconstructions.npz"),
+                     original=np.asarray(probe_x)[:k], recon=recon[:k])
+        logger.log(f"reconstruction grid saved ({k} pairs), "
+                   f"mae={np.abs(recon[:k] - np.asarray(probe_x)[:k]).mean():.4f}")
 
     if args.mode == "conditional":
         # interventions edit the c vector, conditioning the context model
@@ -242,6 +291,24 @@ def main():
                 where="pre" if args.mode == "diffae" else "auto",
                 use_ddim=cfg.eval_use_ddim, w=w,
             ))
+        if args.traversal and args.mode != "conditional":
+            # latent traversal: sweep the variable over its normalized range
+            # on a fixed probe batch (reference sweeps value=-0.5+0.15*i,
+            # `image_causaldae_test.py:500-520`); one row per sweep value.
+            lo = (rng_range[0] - scale[var_idx, 0]) / scale[var_idx, 1]
+            hi = (rng_range[1] - scale[var_idx, 0]) / scale[var_idx, 1]
+            k8 = min(8, len(probe_x))
+            cond8 = {kk: vv[:k8] for kk, vv in probe_cond.items()}
+            rows = []
+            for val in np.linspace(lo, hi, 8):
+                s = cf_fn(variables, probe_x[:k8], cond8, float(val),
+                          jax.random.PRNGKey(args.seed + 31))  # same key: only do() varies
+                rows.append(np.asarray(s))
+            trav = np.concatenate(rows, axis=0)
+            if is_primary_host():
+                save_grid(trav, os.path.join(args.out_dir, f"traversal_{name}.png"),
+                          ncol=k8)
+            logger.log(f"traversal grid for {name}: 8 levels x {k8} samples")
         grids = []
         for b in range(n_batches):
             sel = rng_np.randint(0, len(test_pool["image"]), args.batch_size)
@@ -275,12 +342,22 @@ def main():
                 mae[VAR_NAMES[dataset][f]].append(
                     np.abs(out - gt_norm[:, f]).mean()
                 )
-        allg = np.concatenate(grids, 0)
-        np.savez(os.path.join(args.out_dir, f"samples_do_{name}.npz"), samples=allg)
-        save_grid(allg[:64], os.path.join(args.out_dir, f"grid_do_{name}.png"))
+        # multi-host: concatenate every host's samples before saving
+        # (reference all_gathers each sample batch, `:438-440`)
+        allg = gather_across_hosts(np.concatenate(grids, 0))
+        if fid is not None:
+            fid.update(np.clip(allg, 0, 1), real=False)
+        if is_primary_host():
+            np.savez(os.path.join(args.out_dir, f"samples_do_{name}.npz"), samples=allg)
+            save_grid(allg[:64], os.path.join(args.out_dir, f"grid_do_{name}.png"))
         logger.log(f"do({name}): saved {len(allg)} samples")
 
-    result = {f"mae_{k}": float(np.mean(v)) for k, v in mae.items() if v}
+    # MAE averaged across hosts (reference `:1046-1076`)
+    result = {f"mae_{k}": mean_across_hosts(float(np.mean(v)))
+              for k, v in mae.items() if v}
+    if fid is not None:
+        result["fid"] = fid.compute()
+        logger.log(f"FID (counterfactuals vs real): {result['fid']:.3f}")
     logger.log(f"effectiveness MAE: {result}")
     print(json.dumps(result))
 

@@ -231,3 +231,72 @@ def test_circuit_simplified_regime_mask():
     ])
     mask = _circuit_regime_mask(lat)
     np.testing.assert_array_equal(mask, [True, True, True, False])
+
+
+def test_classifier_trunk_fid_features():
+    """VERDICT item 5: FID over learned classifier-trunk features, end to end.
+    FID(real, real-subset) must be far smaller than FID(real, noise)."""
+    import jax
+
+    from causaldiffae_tpu.data import synthetic_dataset
+    from causaldiffae_tpu.evals.quality import classifier_feature_fn, default_feature_fn
+    from causaldiffae_tpu.models.encoder import GaussianConvEncoderClf
+
+    data = synthetic_dataset("morphomnist", 96, seed=0)
+    model = GaussianConvEncoderClf(num_vars=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data["image"][:2]),
+                           train=False)
+    fn = classifier_feature_fn(model, variables, batch_size=32)
+    feats = fn(data["image"])
+    assert feats.shape[0] == 96 and feats.ndim == 2 and feats.shape[1] >= 64
+
+    fid = FID(fn)
+    fid.update(data["image"][:64], real=True)
+    fid.update(data["image"][64:], real=False)
+    fid_close = fid.compute()
+
+    rng = np.random.RandomState(0)
+    fid2 = FID(fn)
+    fid2.update(data["image"][:64], real=True)
+    fid2.update(rng.rand(32, 28, 28, 1).astype(np.float32), real=False)
+    fid_noise = fid2.compute()
+    assert fid_close < fid_noise, (fid_close, fid_noise)
+
+    # default_feature_fn prefers the classifier trunk over pixels
+    df = default_feature_fn(classifier_model=model, classifier_variables=variables)
+    assert df(data["image"][:4]).shape == feats[:4].shape
+
+
+def test_inception_feature_fn_gated():
+    """No torchvision in this image -> must raise the documented error."""
+    from causaldiffae_tpu.evals.quality import inception_feature_fn
+
+    try:
+        import torchvision  # noqa: F401
+        pytest.skip("torchvision present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="torchvision"):
+        inception_feature_fn()
+
+
+def test_pendulum_effect_ranges_defined():
+    """VERDICT item 4a: all 4 pendulum factors must have intervention ranges
+    (shadow_len/shadow_pos go through the z_post effect path)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "cf_cli", Path(__file__).resolve().parent.parent / "scripts" / "counterfactual_test.py"
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    for ds, ranges in cli.INTERVENTION_RANGES.items():
+        assert all(r is not None for r in ranges), f"{ds} has unset ranges"
+        assert len(ranges) == len(cli.VAR_NAMES[ds])
+    # effect vars route 'post' through the adjacency
+    from causaldiffae_tpu.config import get_config
+
+    cfg = get_config("pendulum_causaldae")
+    A = np.asarray(cfg.adjacency)
+    assert A[:, 2].sum() > 0 and A[:, 3].sum() > 0  # shadow vars have parents
