@@ -244,17 +244,17 @@ _BASE = Config()
 PRESETS = {
     # MorphoMNIST family (scripts/morhomnist/*.sh)
     "morphomnist_causaldae": _BASE.replace(
-        name="morphomnist_causaldae", dataset="morphomnist", image_size=28,
+        name="morphomnist_causaldae", dataset="morphomnist", image_size=28, use_bf16=True,
         in_channels=1, n_vars=2, class_cond=True, rep_cond=True,
         causal_modeling=True, masking=True, batch_size=128, total_steps=14000,
     ),
     "morphomnist_diffae": _BASE.replace(
-        name="morphomnist_diffae", dataset="morphomnist", image_size=28,
+        name="morphomnist_diffae", dataset="morphomnist", image_size=28, use_bf16=True,
         in_channels=1, n_vars=2, class_cond=True, rep_cond=True,
         batch_size=128, total_steps=6000,
     ),
     "morphomnist_conditional": _BASE.replace(
-        name="morphomnist_conditional", dataset="morphomnist", image_size=28,
+        name="morphomnist_conditional", dataset="morphomnist", image_size=28, use_bf16=True,
         in_channels=1, n_vars=2, class_cond=True, context_cond=True,
         batch_size=128, total_steps=6000,
     ),

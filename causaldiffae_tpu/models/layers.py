@@ -114,37 +114,26 @@ class DenseT(nn.Module):
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32, output cast to input dtype.
 
-    Reference `nn.py:435-437,541-548`. Owns its scale/bias params directly so
-    the ResBlock can route through the fused Pallas GN(+scale-shift)+SiLU
-    kernel with the same parameters; the default path is plain jnp (fp32
-    stats per (batch, group), eps 1e-5 - identical math to flax GroupNorm).
+    Reference `nn.py:435-437,541-548`. Owns scale/bias directly and fuses the
+    optional scale-shift conditioning + SiLU into the same call so XLA sees
+    the whole GN->affine->cond->SiLU chain as one fusion candidate. A Pallas
+    fused-GN kernel was built and measured in rounds 1-2 and REMOVED: the
+    custom-call boundary stopped XLA fusing GN into the surrounding convs,
+    regressing both training (97 vs 80 ms/step) and forward-only DDIM
+    sampling (815 vs 690 ms/chain on v5e) - at these activation sizes XLA's
+    own fusion beats a hand kernel.
     """
 
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x, emb_scale_shift=None, silu_after: bool = False,
-                 use_fused: bool = False):
+    def __call__(self, x, emb_scale_shift=None, silu_after: bool = False):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         orig_dtype = x.dtype
         B = x.shape[0]
         hw = int(np.prod(x.shape[1:-1]))
-
-        if use_fused:
-            from ..ops.groupnorm_pallas import fits_vmem, fused_groupnorm_silu
-
-            if fits_vmem(hw, C, 4):
-                if emb_scale_shift is not None:
-                    ss, sh = emb_scale_shift
-                else:
-                    ss = sh = None
-                y = fused_groupnorm_silu(
-                    x.reshape(B, hw, C), scale, bias, ss, sh,
-                    self.num_groups, 1e-5, silu_after,
-                )
-                return y.reshape(x.shape).astype(orig_dtype)
 
         # fp32 single-pass stats; normalize+affine in fp32, then cast back to
         # the compute dtype BEFORE conditioning/SiLU (the bf16-traffic path
@@ -218,14 +207,8 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         out_ch = self.out_channels or self.channels
-        # NB measured on v5e: routing GN through the fused Pallas kernel is a
-        # REGRESSION here (97ms vs 80ms/step) - the custom-VJP boundary stops
-        # XLA fusing GN into neighbors and the backward recompute adds full
-        # extra passes. The kernel stays available in ops/ for inference-only
-        # or larger-C use; the ResBlock keeps the XLA path.
-        fused = False
 
-        h = GroupNorm32()(x, silu_after=True, use_fused=fused)
+        h = GroupNorm32()(x, silu_after=True)
         h = Conv3x3(out_ch, dtype=self.dtype)(h)
 
         emb_out = DenseT(
@@ -234,13 +217,12 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)  # [B, C] each
-            h = GroupNorm32()(h, emb_scale_shift=(scale, shift), silu_after=True,
-                              use_fused=fused)
+            h = GroupNorm32()(h, emb_scale_shift=(scale, shift), silu_after=True)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = Conv3x3(out_ch, zero_init=True, dtype=self.dtype)(h)
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm32()(h, silu_after=True, use_fused=fused)
+            h = GroupNorm32()(h, silu_after=True)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = Conv3x3(out_ch, zero_init=True, dtype=self.dtype)(h)
 

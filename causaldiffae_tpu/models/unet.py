@@ -174,9 +174,13 @@ class CausalUNet(nn.Module):
     # ------------------------------------------------------------------ #
     def _apply_seq(self, modules, h, emb, train):
         for m in modules:
-            # ResBlocks (possibly remat-wrapped, so no isinstance) take (x, emb, train)
+            # ResBlocks (possibly remat-wrapped, so no isinstance) take
+            # (x, emb, train); AttentionBlocks take (x, train) so the Pallas
+            # kernel can be train-gated; Up/Downsample take (x)
             if hasattr(m, "emb_channels"):
                 h = m(h, emb, train)
+            elif hasattr(m, "num_heads"):
+                h = m(h, train)
             else:
                 h = m(h)
         return h

@@ -42,44 +42,72 @@ def _default_interpret() -> bool:
         return True
 
 
+def _q_chunk(T: int, itemsize: int, backward: bool) -> int:
+    """Query-chunk size: whole T when the scratch fits VMEM, else the
+    largest divisor chunk that does.
+
+    Live [cq, T] scratch per head iteration: forward ~2 fp32 (scores,
+    softmax) + 1 input-dtype array; backward ~4 fp32 (s, p, dp, ds) + 2
+    input-dtype casts. Unchunked T=784 fits in bf16 (~12MB, measured
+    working) but overflows v5e VMEM in fp32 (~15MB) - chunking is engaged
+    only under that pressure because the smaller matmuls cost ~15% step
+    time when it isn't needed (82 vs 68 ms/step measured).
+    """
+    per_row = T * ((4 * 4 + 2 * itemsize) if backward else (2 * 4 + itemsize))
+    budget = 13 * 1024 * 1024
+    if T * per_row <= budget:
+        return T
+    for c in (256, 128, 112, 96, 64, 32, 16, 8):
+        if T % c == 0 and c * per_row <= budget:
+            return c
+    return 8
+
+
 def _attn_kernel(qkv_ref, o_ref, *, num_heads: int):
-    """One (batch, head) tile: qkv block [T, 3d] -> out [T, d]."""
-    qkv = qkv_ref[0, 0, :, :]
-    d = qkv.shape[-1] // 3
+    """One batch element: qkv block [T, 3C] (head-major interleave) -> [T, C].
+
+    Heads are processed by a static in-kernel loop over lane slices of the
+    natural projection layout, so NO host-side transpose/copy is needed on
+    either side of the kernel (a per-(b,h) grid forces
+    [B,T,H,3d] <-> [B,H,T,3d] relayout copies worth ~10% of the train step).
+    Queries are processed in chunks to bound VMEM scratch.
+    """
+    qkv = qkv_ref[0]                       # [T, 3C]
+    T = qkv.shape[0]
+    d = qkv.shape[-1] // (3 * num_heads)
     dt = qkv.dtype
-    q = qkv[:, :d]
-    k = qkv[:, d:2 * d]
-    v = qkv[:, 2 * d:]
     scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
-    # bf16 operands + fp32 accumulation: native MXU passes (an fp32 matmul
-    # decomposes into several); matches the reference's pre-scaled low-
-    # precision matmul + fp32 softmax (unet.py:248-252)
-    s = jnp.dot(q * scale, (k * scale).T, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+    cq = _q_chunk(T, qkv.dtype.itemsize, backward=False)
+    outs = []
+    for h in range(num_heads):
+        base = h * 3 * d
+        q = qkv[:, base:base + d] * scale
+        k = qkv[:, base + d:base + 2 * d] * scale
+        v = qkv[:, base + 2 * d:base + 3 * d]
+        # bf16 operands + fp32 accumulation: native MXU passes; matches the
+        # reference's pre-scaled low-precision matmul + fp32 softmax
+        # (unet.py:248-252)
+        rows = []
+        for i in range(0, T, cq):
+            s = jnp.dot(q[i:i + cq], k.T, preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)
+            rows.append(jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0])
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _forward(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
     B, T, threeC = qkv.shape
     C = threeC // 3
-    d = C // num_heads
-    # head-major [q,k,v] within head (reference layout); heads moved off the
-    # trailing two axes (TPU tiling requires the last two block dims to be
-    # 8/128-aligned or full)
-    qkv4 = qkv.reshape(B, T, num_heads, 3 * d).transpose(0, 2, 1, 3)
     mem = _VMEM if (_VMEM and not interpret) else None
-    out4 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((B, num_heads, T, d), qkv.dtype),
-        grid=(B, num_heads),
-        in_specs=[
-            pl.BlockSpec((1, 1, T, 3 * d), lambda b, h: (b, h, 0, 0), memory_space=mem)
-        ],
-        out_specs=pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0), memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem)],
+        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
         interpret=interpret,
-    )(qkv4)
-    return out4.transpose(0, 2, 1, 3).reshape(B, T, C)
+    )(qkv)
 
 
 def _reference(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -88,54 +116,66 @@ def _reference(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return qkv_attention(qkv, num_heads)
 
 
-def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref):
-    """Flash-style backward for one (batch, head) tile.
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
+    """Flash-style backward for one batch element (in-kernel head loop).
 
     Recomputes the T x T probabilities in VMEM instead of reading the saved
     forward weights from HBM - for the reference's full-resolution MNIST
     attention (T=784, batch 128) the saved-weights tensor alone is 630MB, and
     eliminating its HBM round-trips is the single biggest win in the step.
+    g arrives as [T, C] in the natural (head-interleaved lane) layout.
     """
-    qkv = qkv_ref[0, 0, :, :]
-    g = g_ref[0, 0, :, :]
-    d = qkv.shape[-1] // 3
+    qkv = qkv_ref[0]                       # [T, 3C]
+    g_all = g_ref[0]                       # [T, C]
+    T = qkv.shape[0]
+    d = qkv.shape[-1] // (3 * num_heads)
     dt = qkv.dtype
     scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
-    q = qkv[:, :d] * scale
-    k = qkv[:, d:2 * d] * scale
-    v = qkv[:, 2 * d:]
-    # bf16 matmul operands, fp32 accumulation/softmax throughout
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
-    p_lp = p.astype(dt)
-    dv = jnp.dot(p_lp.T, g, preferred_element_type=jnp.float32)
-    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds_lp = ds.astype(dt)
-    dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
-    dk = jnp.dot(ds_lp.T, q, preferred_element_type=jnp.float32) * scale
-    dqkv_ref[0, 0, :, :] = jnp.concatenate([dq, dk, dv], axis=-1).astype(dqkv_ref.dtype)
+    cq = _q_chunk(T, qkv.dtype.itemsize, backward=True)
+    outs = []
+    for h in range(num_heads):
+        base = h * 3 * d
+        q = qkv[:, base:base + d] * scale
+        k = qkv[:, base + d:base + 2 * d] * scale
+        v = qkv[:, base + 2 * d:base + 3 * d]
+        g = g_all[:, h * d:(h + 1) * d]
+        # flash-style query chunks: dq rows are chunk-local, dk/dv accumulate
+        # across chunks; bf16 matmul operands, fp32 accumulation/softmax
+        dq_rows = []
+        dk = jnp.zeros((T, d), dtype=jnp.float32)
+        dv = jnp.zeros((T, d), dtype=jnp.float32)
+        for i in range(0, T, cq):
+            qc = q[i:i + cq]
+            gc = g[i:i + cq]
+            s = jnp.dot(qc, k.T, preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)
+            p_lp = p.astype(dt)
+            dv = dv + jnp.dot(p_lp.T, gc, preferred_element_type=jnp.float32)
+            dp = jnp.dot(gc, v.T, preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_lp = ds.astype(dt)
+            dq_rows.append(jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale)
+            dk = dk + jnp.dot(ds_lp.T, qc, preferred_element_type=jnp.float32) * scale
+        dq = jnp.concatenate(dq_rows, axis=0) if len(dq_rows) > 1 else dq_rows[0]
+        outs.extend([dq, dk, dv])
+    dqkv_ref[0] = jnp.concatenate(outs, axis=-1).astype(dqkv_ref.dtype)
 
 
 def _backward(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
     B, T, threeC = qkv.shape
     C = threeC // 3
-    d = C // num_heads
-    qkv4 = qkv.reshape(B, T, num_heads, 3 * d).transpose(0, 2, 1, 3)
-    g4 = g.reshape(B, T, num_heads, d).transpose(0, 2, 1, 3)
     mem = _VMEM if (_VMEM and not interpret) else None
-    dqkv4 = pl.pallas_call(
-        _attn_bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, num_heads, T, 3 * d), qkv.dtype),
-        grid=(B, num_heads),
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, T, threeC), qkv.dtype),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, T, 3 * d), lambda b, h: (b, h, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
         ],
-        out_specs=pl.BlockSpec((1, 1, T, 3 * d), lambda b, h: (b, h, 0, 0), memory_space=mem),
+        out_specs=pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
         interpret=interpret,
-    )(qkv4, g4)
-    return dqkv4.transpose(0, 2, 1, 3).reshape(B, T, 3 * C)
+    )(qkv, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

@@ -1,5 +1,10 @@
 """Correctness tests for Pallas kernels (interpret mode on CPU) vs the
-reference jnp paths, including gradients through the custom VJPs."""
+reference jnp paths, including gradients through the custom VJPs.
+
+(A fused GroupNorm kernel existed through round 2 and was removed after
+measurement: the custom-call boundary regressed both training and sampling
+vs XLA's own fusion - see models/layers.GroupNorm32 docstring.)
+"""
 
 import jax
 import jax.numpy as jnp
@@ -7,8 +12,7 @@ import numpy as np
 import pytest
 
 from causaldiffae_tpu.models.attention import qkv_attention
-from causaldiffae_tpu.ops import fused_groupnorm_silu, fused_qkv_attention
-from causaldiffae_tpu.ops.groupnorm_pallas import _reference as gn_reference
+from causaldiffae_tpu.ops import fused_qkv_attention
 
 
 @pytest.mark.parametrize("B,T,H,d", [(2, 49, 2, 16), (1, 196, 4, 32), (2, 64, 1, 8)])
@@ -36,58 +40,6 @@ def test_fused_attention_grad():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("with_cond,with_silu", [(True, True), (False, True), (False, False)])
-def test_fused_groupnorm_matches_reference(with_cond, with_silu):
-    B, HW, C = 2, 49, 64
-    G = 32
-    key = jax.random.PRNGKey(2)
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    x = jax.random.normal(k1, (B, HW, C))
-    gamma = jax.random.normal(k2, (C,)) * 0.1 + 1.0
-    beta = jax.random.normal(k3, (C,)) * 0.1
-    scale = jax.random.normal(k4, (B, C)) * 0.1 if with_cond else None
-    shift = jax.random.normal(k5, (B, C)) * 0.1 if with_cond else None
-    got = fused_groupnorm_silu(x, gamma, beta, scale, shift, G, 1e-5, with_silu)
-    ref = gn_reference(x, gamma, beta, scale, shift, G, 1e-5, with_cond, with_silu)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
-
-
-def test_fused_groupnorm_matches_flax_groupnorm():
-    """Against flax's GroupNorm (the production XLA path) for affine-only."""
-    import flax.linen as nn
-
-    B, HW, C = 2, 49, 64
-    x = jax.random.normal(jax.random.PRNGKey(3), (B, HW, C))
-    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
-    vars_ = gn.init(jax.random.PRNGKey(4), x)
-    ref = gn.apply(vars_, x)
-    got = fused_groupnorm_silu(
-        x, vars_["params"]["scale"], vars_["params"]["bias"], None, None,
-        32, 1e-5, False,
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
-
-
-def test_fused_groupnorm_grad():
-    B, HW, C = 2, 16, 64
-    x = jax.random.normal(jax.random.PRNGKey(5), (B, HW, C))
-    gamma = jnp.ones((C,))
-    beta = jnp.zeros((C,))
-    scale = jax.random.normal(jax.random.PRNGKey(6), (B, C)) * 0.1
-    shift = jax.random.normal(jax.random.PRNGKey(7), (B, C)) * 0.1
-
-    def loss_pallas(x, gamma, scale):
-        return jnp.sum(fused_groupnorm_silu(x, gamma, beta, scale, shift) ** 2)
-
-    def loss_ref(x, gamma, scale):
-        return jnp.sum(gn_reference(x, gamma, beta, scale, shift, 32, 1e-5, True, True) ** 2)
-
-    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, gamma, scale)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, scale)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
-
-
 def test_unet_with_pallas_attention_flag():
     """use_pallas=True wires the fused kernel into the UNet (interpret on CPU)."""
     from causaldiffae_tpu.config import Config, create_model
@@ -105,3 +57,22 @@ def test_unet_with_pallas_attention_flag():
     eps, aux = model.apply(variables, x, t, train=False)
     assert eps.shape == (2, 28, 28, 1)
     assert bool(jnp.isfinite(eps).all())
+
+
+def test_attention_train_gating_numerics():
+    """Pallas (bf16 train) and XLA (eval) attention paths must agree within
+    bf16 tolerance, so train/eval routing cannot change model behavior.
+    The kernel is gated to bf16 (fp32 doubles its VMEM scratch past the
+    16MB scoped limit at T=784); fp32 must take the XLA path everywhere."""
+    from causaldiffae_tpu.models.attention import AttentionBlock
+
+    blk = AttentionBlock(channels=32, num_heads=2, use_pallas=True,
+                         dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 7, 32), jnp.bfloat16)
+    variables = blk.init(jax.random.PRNGKey(3), x, False)
+    out_eval = blk.apply(variables, x, False)   # XLA einsum path
+    out_train = blk.apply(variables, x, True)   # Pallas kernel path
+    np.testing.assert_allclose(
+        np.asarray(out_train, dtype=np.float32),
+        np.asarray(out_eval, dtype=np.float32), atol=3e-2, rtol=3e-2,
+    )
