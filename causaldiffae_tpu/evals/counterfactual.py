@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..diffusion.process import GaussianDiffusion
-from ..diffusion.sampling import ddim_sample_loop, p_sample_loop
+from ..diffusion.sampling import ddim_reverse_loop, ddim_sample_loop, p_sample_loop
 from ..models.unet import CausalUNet, reparameterize
 
 __all__ = ["make_counterfactual_fn", "make_reconstruct_fn", "make_prior_sample_fn"]
@@ -53,6 +53,9 @@ def make_counterfactual_fn(
     where: str = "auto",          # 'pre' (root, before SCM) | 'post' (effect) | 'auto'
     use_ddim: bool = True,
     w: Optional[float] = None,
+    abduction: str = "qsample",   # 'qsample' (stochastic, the reference's
+                                  # shipped path) | 'ddim' (deterministic
+                                  # inversion through the conditioned model)
 ):
     """Build jittable ``fn(variables, x, cond, value, rng) -> samples``.
 
@@ -61,6 +64,7 @@ def make_counterfactual_fn(
     has parents in cfg's adjacency (roots intervene on mu, effects on z_post
     - the reference's convention).
     """
+    assert abduction in ("qsample", "ddim")
     n_vars = cfg.n_vars
     if where == "auto":
         import numpy as np
@@ -74,38 +78,48 @@ def make_counterfactual_fn(
         B = x.shape[0]
         r_noise, r_rep, r_chain = jax.random.split(rng, 3)
 
-        mu, _ = model.apply(variables, x, train=False, method=CausalUNet.encode)
-        var = jnp.full_like(mu, cfg.reparam_var_scale)
-        if where == "pre":
-            mu = _overwrite_block(mu, intervene_var, n_vars, value)
-        if cfg.causal_modeling:
-            z_post = model.apply(variables, mu, method=CausalUNet.causalize)
-        else:
-            z_post = mu
-        if where == "post":
-            z_post = _overwrite_block(z_post, intervene_var, n_vars, value)
-        z = z_post + jnp.sqrt(var) * jax.random.normal(r_rep, z_post.shape, z_post.dtype)
+        mu_raw, _ = model.apply(variables, x, train=False, method=CausalUNet.encode)
+        var = jnp.full_like(mu_raw, cfg.reparam_var_scale)
+        rep_noise = jax.random.normal(r_rep, mu_raw.shape, mu_raw.dtype)
 
-        # stochastic abduction at the respaced t (reference :415-419)
-        t = jnp.full((B,), cfg.abduction_t, dtype=jnp.int32)
-        noise = jax.random.normal(r_noise, x.shape, x.dtype)
-        x_t = diffusion.q_sample(x, t, noise)
+        def make_z(intervene: bool) -> jnp.ndarray:
+            """Latent under the (counter)factual world, with SHARED exogenous
+            reparameterization noise (the abduction of u in do-calculus)."""
+            mu = mu_raw
+            if intervene and where == "pre":
+                mu = _overwrite_block(mu, intervene_var, n_vars, value)
+            z_post = (model.apply(variables, mu, method=CausalUNet.causalize)
+                      if cfg.causal_modeling else mu)
+            if intervene and where == "post":
+                z_post = _overwrite_block(z_post, intervene_var, n_vars, value)
+            return z_post + jnp.sqrt(var) * rep_noise
 
         y = cond.get("y")
         c = cond.get("c")
 
-        def model_fn(xx, tt):
-            return model.apply(variables, xx, tt, y=y, c=c, z=z, train=False,
-                               method=CausalUNet.denoise)
-
-        uncond_fn = None
-        if w is not None:
-            z0 = jnp.zeros_like(z)
-
-            def uncond_fn(xx, tt):
-                return model.apply(variables, xx, tt, y=y, c=c, z=z0, train=False,
+        def make_model_fn(z):
+            def model_fn(xx, tt):
+                return model.apply(variables, xx, tt, y=y, c=c, z=z, train=False,
                                    method=CausalUNet.denoise)
+            return model_fn
 
+        if abduction == "qsample":
+            # stochastic abduction at the respaced t (reference :415-419)
+            t = jnp.full((B,), cfg.abduction_t, dtype=jnp.int32)
+            noise = jax.random.normal(r_noise, x.shape, x.dtype)
+            x_t = diffusion.q_sample(x, t, noise)
+        else:
+            # deterministic DDIM inversion through the model conditioned on
+            # the FACTUAL latent (no intervention) - exact exogenous-noise
+            # abduction; regeneration below conditions on the intervened z
+            x_t = ddim_reverse_loop(
+                diffusion, make_model_fn(make_z(False)), x,
+                clip_denoised=cfg.clip_denoised,
+            )
+
+        z = make_z(True)
+        model_fn = make_model_fn(z)
+        uncond_fn = make_model_fn(jnp.zeros_like(z)) if w is not None else None
         sampler = ddim_sample_loop if use_ddim else p_sample_loop
         return sampler(
             diffusion, model_fn, x_t, r_chain,

@@ -118,6 +118,11 @@ def main():
                              "(reference image_causaldae_test.py:500-520)")
     parser.add_argument("--no_recon", action="store_true",
                         help="skip the reconstruction grid")
+    parser.add_argument("--abduction", choices=["qsample", "ddim"],
+                        default="qsample",
+                        help="qsample: stochastic forward abduction at t=249 "
+                             "(the reference's shipped path); ddim: exact "
+                             "deterministic DDIM inversion")
     args = parser.parse_args()
 
     import jax
@@ -289,7 +294,7 @@ def main():
             cf_fn = jax.jit(make_counterfactual_fn(
                 cfg, model, eval_diffusion, intervene_var=var_idx,
                 where="pre" if args.mode == "diffae" else "auto",
-                use_ddim=cfg.eval_use_ddim, w=w,
+                use_ddim=cfg.eval_use_ddim, w=w, abduction=args.abduction,
             ))
         if args.traversal and args.mode != "conditional":
             # latent traversal: sweep the variable over its normalized range

@@ -4,9 +4,9 @@
 Rebuild of reference `scripts/image_nll.py` (C31): stream batches through
 the full per-timestep VLB sweep (here one compiled `lax.scan` per batch
 instead of T host-dispatched model calls), aggregate term means, save
-``*_terms.npz``. The reference's cross-rank `dist.all_reduce`
-(`image_nll.py:63-69`) is unnecessary: metrics from the jitted function are
-already global.
+``*_terms.npz``. Multi-host: each process sweeps its own data shard, then
+per-sample terms are concatenated and bpd averaged across hosts
+(replacing the reference's `dist.all_reduce`, `image_nll.py:63-69`).
 """
 
 import argparse
@@ -107,12 +107,19 @@ def main():
         i += 1
         logger.log(f"done {n_done} samples: bpd so far = {np.concatenate(all_bpd).mean():.4f}")
 
-    total = float(np.concatenate(all_bpd).mean())
+    from causaldiffae_tpu.parallel import (
+        gather_across_hosts, is_primary_host, mean_across_hosts,
+    )
+
+    total = mean_across_hosts(float(np.concatenate(all_bpd).mean()))
     logger.log(f"total_bpd = {total:.5f}")
-    os.makedirs(args.out_dir, exist_ok=True)
-    for name, terms in all_metrics.items():
-        np.savez(os.path.join(args.out_dir, f"{name}_terms.npz"),
-                 np.concatenate(terms, axis=0))
+    # gather on ALL hosts (process_allgather is collective); write on primary
+    gathered = {name: gather_across_hosts(np.concatenate(terms, axis=0))
+                for name, terms in all_metrics.items()}
+    if is_primary_host():
+        os.makedirs(args.out_dir, exist_ok=True)
+        for name, terms in gathered.items():
+            np.savez(os.path.join(args.out_dir, f"{name}_terms.npz"), terms)
     print(f'{{"total_bpd": {total}}}')
 
 

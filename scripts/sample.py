@@ -68,17 +68,24 @@ def main():
     all_images = []
     i = 0
     while len(all_images) * args.batch_size < args.num_samples:
-        out = fn(variables, shape, cond, jax.random.PRNGKey(args.seed + i))
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed + i), jax.process_index())
+        out = fn(variables, shape, cond, key)
         all_images.append(np.asarray(out))
         i += 1
         logger.log(f"created {len(all_images) * args.batch_size} samples")
 
-    arr = np.concatenate(all_images, axis=0)[: args.num_samples]
-    os.makedirs(args.out_dir, exist_ok=True)
-    out_path = os.path.join(args.out_dir, f"samples_{arr.shape[0]}x{arr.shape[1]}x{arr.shape[2]}.npz")
-    np.savez(out_path, arr_0=arr)
-    save_grid(arr[:64], os.path.join(args.out_dir, "grid.png"))
-    logger.log(f"saved {out_path}")
+    from causaldiffae_tpu.parallel import gather_across_hosts, is_primary_host
+
+    # multi-host: every process samples with a process-offset seed; gather
+    # (reference gathers each sample batch, `image_sample_rep.py`)
+    arr = gather_across_hosts(np.concatenate(all_images, axis=0))[: args.num_samples]
+    if is_primary_host():
+        os.makedirs(args.out_dir, exist_ok=True)
+        out_path = os.path.join(
+            args.out_dir, f"samples_{arr.shape[0]}x{arr.shape[1]}x{arr.shape[2]}.npz")
+        np.savez(out_path, arr_0=arr)
+        save_grid(arr[:64], os.path.join(args.out_dir, "grid.png"))
+        logger.log(f"saved {out_path}")
 
 
 if __name__ == "__main__":

@@ -300,3 +300,24 @@ def test_pendulum_effect_ranges_defined():
     cfg = get_config("pendulum_causaldae")
     A = np.asarray(cfg.adjacency)
     assert A[:, 2].sum() > 0 and A[:, 3].sum() > 0  # shadow vars have parents
+
+
+def test_counterfactual_ddim_abduction(cf_setup):
+    """abduction='ddim': deterministic inversion through the factual-z model
+    -> identical outputs for identical keys, finite, right shape; and the
+    two abduction modes genuinely differ (different x_t distributions)."""
+    cfg, model, eval_diff, variables, batch = cf_setup
+    x = batch["image"][:2]
+    cond = {"y": batch["y"][:2]}
+    fn_ddim = jax.jit(make_counterfactual_fn(
+        cfg, model, eval_diff, intervene_var=0, abduction="ddim",
+    ))
+    out1 = fn_ddim(variables, x, cond, 0.3, jax.random.PRNGKey(5))
+    out2 = fn_ddim(variables, x, cond, 0.3, jax.random.PRNGKey(5))
+    assert out1.shape == x.shape and bool(jnp.isfinite(out1).all())
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    fn_q = jax.jit(make_counterfactual_fn(
+        cfg, model, eval_diff, intervene_var=0, abduction="qsample",
+    ))
+    out_q = fn_q(variables, x, cond, 0.3, jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(out1), np.asarray(out_q))
