@@ -261,17 +261,17 @@ PRESETS = {
     # Pendulum family (scripts/pendulum/*.sh); rep_dim 64 per the eval
     # reshapes (image_causaldae_test.py:229,254) and script_util.py:16.
     "pendulum_causaldae": _BASE.replace(
-        name="pendulum_causaldae", dataset="pendulum", image_size=96,
+        name="pendulum_causaldae", dataset="pendulum", image_size=96, use_bf16=True,
         in_channels=4, n_vars=4, rep_dim=64, rep_cond=True,
         causal_modeling=True, masking=True, batch_size=32, total_steps=35000,
     ),
     "pendulum_diffae": _BASE.replace(
-        name="pendulum_diffae", dataset="pendulum", image_size=96,
+        name="pendulum_diffae", dataset="pendulum", image_size=96, use_bf16=True,
         in_channels=4, n_vars=4, rep_dim=64, rep_cond=True,
         batch_size=32, total_steps=50000,
     ),
     "pendulum_conditional": _BASE.replace(
-        name="pendulum_conditional", dataset="pendulum", image_size=96,
+        name="pendulum_conditional", dataset="pendulum", image_size=96, use_bf16=True,
         in_channels=4, context_cond=True, batch_size=32, total_steps=35000,
     ),
     # CausalCircuit family (scripts/circuit/*.sh)

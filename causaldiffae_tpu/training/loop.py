@@ -106,26 +106,46 @@ class TrainLoop:
             step += 1
 
             if step % cfg.log_interval == 0:
-                # single host sync point per log interval
-                metrics = {k: float(v) for k, v in metrics.items()}
-                for k, v in metrics.items():
-                    if k.endswith("_count"):
-                        continue
-                    logger.logkv_mean(k, v)
-                logger.logkv("step", step)
-                logger.logkv("samples", step * world_batch)
-                dt = time.time() - t_start
-                logger.logkv("samples_per_sec", (step - self.resume_step) * world_batch / max(dt, 1e-9))
-                logger.dumpkvs()
+                # Lagged async metric readback: start the device->host copies
+                # now, convert + log them at the NEXT interval when they have
+                # long arrived. A synchronous per-value float() here costs a
+                # host<->device round-trip PER METRIC and was measured to
+                # nearly halve wall-clock throughput (1909 -> 909 samples/s
+                # through the axon tunnel); the lagged fetch costs ~0.
+                for v in metrics.values():
+                    try:
+                        v.copy_to_host_async()
+                    except AttributeError:  # non-array (already host) metric
+                        pass
+                pending, self._pending_metrics = self._pending_metrics, (step, metrics)
+                if pending is not None:
+                    self._log_metrics(*pending, world_batch, t_start)
             if self.ckpt is not None and step % cfg.save_interval == 0:
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", "") and step > 0:
                     return self.state
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
+        if self._pending_metrics is not None:  # flush the lagged interval
+            self._log_metrics(*self._pending_metrics, world_batch, t_start)
+            self._pending_metrics = None
         if self.ckpt is not None and step % cfg.save_interval != 0:
             self.save()
         return self.state
+
+    def _log_metrics(self, at_step: int, metrics: Dict, world_batch: int,
+                     t_start: float):
+        metrics = {k: float(v) for k, v in metrics.items()}  # host buffers, free
+        for k, v in metrics.items():
+            if k.endswith("_count"):
+                continue
+            logger.logkv_mean(k, v)
+        logger.logkv("step", at_step)
+        logger.logkv("samples", at_step * world_batch)
+        dt = time.time() - t_start
+        logger.logkv("samples_per_sec",
+                     (at_step - self.resume_step) * world_batch / max(dt, 1e-9))
+        logger.dumpkvs()
 
     def save(self):
         if self.ckpt is None:
