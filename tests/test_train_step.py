@@ -217,3 +217,19 @@ def test_train_step_learn_sigma():
     assert "vb" in metrics and np.isfinite(float(metrics["vb"]))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_2d_mesh_data_model_axes():
+    """make_mesh(model_parallel=2) folds a model axis; the train step runs
+    with the batch sharded on 'data' and state replicated over both axes
+    (the mesh API reserved for tensor parallelism - SURVEY §5.8)."""
+    cfg = tiny_cfg(batch_size=8)
+    model, diffusion, state, step_fn, it = setup(cfg)
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state = jax.device_put(state, replicated(mesh))
+    new_state, metrics = jax.jit(step_fn)(state, shard_batch(mesh, batch))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
