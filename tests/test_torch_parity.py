@@ -275,3 +275,20 @@ def test_training_losses_parity(ref_diffusion, our_diffusion):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got["loss"]), ref["loss"].numpy(),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_load_torch_checkpoint_file_roundtrip(torch_model, flax_setup, tmp_path):
+    """C-migration path: a reference .pt file on disk loads into the exact
+    variables the in-memory port produces (covers torch.load + dtype plumbing
+    of `load_torch_checkpoint`, the documented checkpoint-migration entry)."""
+    _, variables = flax_setup
+    path = tmp_path / "model000000.pt"
+    torch.save(torch_model.state_dict(), path)
+
+    from causaldiffae_tpu.utils.torch_port import load_torch_checkpoint
+
+    loaded = load_torch_checkpoint(CFG, str(path))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        loaded, variables,
+    )
