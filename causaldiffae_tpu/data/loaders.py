@@ -245,6 +245,9 @@ def make_data_iterator(data: Dict[str, np.ndarray], batch_size: int, seed: int =
     """
     from .native_loader import NativeBatchIterator, native_available
 
+    if native and not shuffle:
+        raise ValueError("native loader is shuffle-only (epoch-permutation "
+                         "prefetcher); use the numpy path for deterministic order")
     if native is not False and shuffle:
         if native_available():
             pool = _uint8_pool(data["image"])

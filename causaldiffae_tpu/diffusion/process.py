@@ -295,14 +295,18 @@ class GaussianDiffusion:
 
     def ddim_reverse_sample(
         self, model_fn, x, t, clip_denoised=True, denoised_fn=None,
+        w=None, uncond_fn=None,
     ):
         """One deterministic DDIM inversion step x_t -> x_{t+1}.
 
-        Reference `gaussian_diffusion.py:560-596`.
+        Reference `gaussian_diffusion.py:560-596`. Guidance (w, uncond_fn)
+        makes the inversion use the SAME effective eps-model as a guided
+        generation chain, so guided roundtrips stay exact.
         """
         s = self.schedule
         out = self.p_mean_variance(
             model_fn, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            w=w, uncond_fn=uncond_fn,
         )
         eps = (
             _extract(s.sqrt_recip_alphas_cumprod, t, x.ndim) * x - out["pred_xstart"]

@@ -105,20 +105,25 @@ def ddim_reverse_loop(
     *,
     num_steps: Optional[int] = None,
     clip_denoised: bool = True,
+    w: Optional[float] = None,
+    uncond_fn=None,
 ) -> jnp.ndarray:
     """Deterministic DDIM inversion x_0 -> x_T (abduction by ODE).
 
     The reference ships `ddim_reverse_sample` (`gaussian_diffusion.py:560-596`)
     but its eval path abducts with a stochastic `q_sample` at t=249
     (`image_causaldae_test.py:415-419`); both are supported - this is the
-    deterministic one, scanning t = 0..num_steps-1 forward.
+    deterministic one, scanning t = 0..num_steps-1 forward. Pass the same
+    (w, uncond_fn) guidance as the generation chain for exact roundtrips.
     """
     B = x0.shape[0]
     n = num_steps if num_steps is not None else diffusion.num_timesteps
 
     def step(x, t_scalar):
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
-        out = diffusion.ddim_reverse_sample(model_fn, x, t, clip_denoised=clip_denoised)
+        out = diffusion.ddim_reverse_sample(
+            model_fn, x, t, clip_denoised=clip_denoised, w=w, uncond_fn=uncond_fn,
+        )
         return out["sample"], None
 
     x, _ = jax.lax.scan(step, x0, jnp.arange(n, dtype=jnp.int32))

@@ -103,6 +103,10 @@ def make_counterfactual_fn(
                                    method=CausalUNet.denoise)
             return model_fn
 
+        z = make_z(True)
+        model_fn = make_model_fn(z)
+        uncond_fn = make_model_fn(jnp.zeros_like(z)) if w is not None else None
+
         if abduction == "qsample":
             # stochastic abduction at the respaced t (reference :415-419)
             t = jnp.full((B,), cfg.abduction_t, dtype=jnp.int32)
@@ -111,15 +115,13 @@ def make_counterfactual_fn(
         else:
             # deterministic DDIM inversion through the model conditioned on
             # the FACTUAL latent (no intervention) - exact exogenous-noise
-            # abduction; regeneration below conditions on the intervened z
+            # abduction; regeneration below conditions on the intervened z.
+            # The inversion uses the SAME guidance weight as generation so a
+            # guided no-intervention roundtrip stays (near-)identity.
             x_t = ddim_reverse_loop(
                 diffusion, make_model_fn(make_z(False)), x,
-                clip_denoised=cfg.clip_denoised,
+                clip_denoised=cfg.clip_denoised, w=w, uncond_fn=uncond_fn,
             )
-
-        z = make_z(True)
-        model_fn = make_model_fn(z)
-        uncond_fn = make_model_fn(jnp.zeros_like(z)) if w is not None else None
         sampler = ddim_sample_loop if use_ddim else p_sample_loop
         return sampler(
             diffusion, model_fn, x_t, r_chain,

@@ -125,6 +125,9 @@ def inception_feature_fn(weights_path: Optional[str] = None,
                 xb = torch.nn.functional.interpolate(
                     xb, size=(299, 299), mode="bilinear", align_corners=False
                 )
+                # published-FID preprocessing: [0,1] -> [-1,1] (torchmetrics'
+                # NoTrainInceptionV3 normalize_input, matching pytorch-fid)
+                xb = xb * 2.0 - 1.0
                 out.append(net(xb).numpy())
         return np.concatenate(out, axis=0)
 

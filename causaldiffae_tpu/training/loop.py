@@ -73,7 +73,7 @@ class TrainLoop:
         cfg = self.cfg
         total = num_steps if num_steps is not None else cfg.total_steps
         world_batch = cfg.batch_size
-        t_start = time.time()
+        self._t_start = time.time()
         step = int(self.state.step)
         # preemption tolerance (SURVEY §5.3): checkpoint on SIGTERM/SIGINT
         # before exiting (Cloud TPU sends SIGTERM ahead of eviction)
@@ -95,6 +95,7 @@ class TrainLoop:
         while step < total and (not cfg.lr_anneal_steps or step < cfg.lr_anneal_steps):
             if preempted["flag"]:
                 logger.log("preemption signal received - checkpointing and exiting")
+                self._flush_pending(world_batch)
                 self.save()
                 for sig, h in prev_handlers.items():
                     signal.signal(sig, h)
@@ -117,24 +118,31 @@ class TrainLoop:
                         v.copy_to_host_async()
                     except AttributeError:  # non-array (already host) metric
                         pass
-                pending, self._pending_metrics = self._pending_metrics, (step, metrics)
+                # capture the wall time NOW so the flushed rate is computed
+                # against this interval's clock, not the next one's
+                pending, self._pending_metrics = (
+                    self._pending_metrics, (step, metrics, time.time()))
                 if pending is not None:
-                    self._log_metrics(*pending, world_batch, t_start)
+                    self._log_metrics(*pending, world_batch)
             if self.ckpt is not None and step % cfg.save_interval == 0:
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", "") and step > 0:
+                    self._flush_pending(world_batch)
                     return self.state
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
-        if self._pending_metrics is not None:  # flush the lagged interval
-            self._log_metrics(*self._pending_metrics, world_batch, t_start)
-            self._pending_metrics = None
+        self._flush_pending(world_batch)
         if self.ckpt is not None and step % cfg.save_interval != 0:
             self.save()
         return self.state
 
-    def _log_metrics(self, at_step: int, metrics: Dict, world_batch: int,
-                     t_start: float):
+    def _flush_pending(self, world_batch: int):
+        if self._pending_metrics is not None:
+            self._log_metrics(*self._pending_metrics, world_batch)
+            self._pending_metrics = None
+
+    def _log_metrics(self, at_step: int, metrics: Dict, at_time: float,
+                     world_batch: int):
         metrics = {k: float(v) for k, v in metrics.items()}  # host buffers, free
         for k, v in metrics.items():
             if k.endswith("_count"):
@@ -142,7 +150,7 @@ class TrainLoop:
             logger.logkv_mean(k, v)
         logger.logkv("step", at_step)
         logger.logkv("samples", at_step * world_batch)
-        dt = time.time() - t_start
+        dt = at_time - self._t_start
         logger.logkv("samples_per_sec",
                      (at_step - self.resume_step) * world_batch / max(dt, 1e-9))
         logger.dumpkvs()

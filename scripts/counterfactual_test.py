@@ -239,7 +239,10 @@ def main():
         ))
         fid.update(np.clip(test_pool["image"][:num_samples * 2], 0, 1), real=True)
 
-    rng_np = np.random.RandomState(args.seed)
+    # per-process decorrelation: each host draws different eval samples and
+    # intervention values, so the cross-host gather adds coverage instead of
+    # concatenating identical copies
+    rng_np = np.random.RandomState(args.seed + 1000003 * jax.process_index())
     w = cfg.guidance_w
     mae = {name: [] for name in VAR_NAMES[dataset]}
     n_batches = max(num_samples // args.batch_size, 1)
@@ -332,7 +335,10 @@ def main():
             gt = ground_truth_factors(dataset, c_raw, var_idx, raw_value)
             gt_norm = (gt - scale[:, 0]) / scale[:, 1]
 
-            key = jax.random.PRNGKey(args.seed * 1000 + var_idx * 100 + b)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed * 1000 + var_idx * 100 + b),
+                jax.process_index(),
+            )
             if args.mode == "conditional":
                 c_edit = jnp.asarray(test_pool["c"][sel]).at[:, var_idx].set(norm_value)
                 y_cond = jnp.asarray(test_pool["y"][sel]) if cfg.class_cond else None

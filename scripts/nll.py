@@ -57,6 +57,11 @@ def main():
         pool = {"morphomnist": lambda: load_morphomnist(args.data_dir, train=False),
                 "pendulum": lambda: load_pendulum(args.data_dir, split="test"),
                 "circuit": lambda: load_circuit(args.data_dir, split="test")}[cfg.dataset]()
+    # each process sweeps its own disjoint shard of the pool
+    from causaldiffae_tpu.data.loaders import _proc_shard, _shard
+
+    shard_i, num_shards = _proc_shard()
+    pool = _shard(pool, shard_i, num_shards)
 
     first = {k: jnp.asarray(v[: args.batch_size]) for k, v in pool.items()}
     tx = make_optimizer(cfg)
@@ -99,7 +104,8 @@ def main():
         y = jnp.asarray(pool["y"][sel]) if "y" in pool else None
         c = jnp.asarray(pool["c"][sel]) if "c" in pool else None
         z = encode_z(x, jax.random.PRNGKey(1234 + i)) if cfg.rep_cond else None
-        out = bpd(x, y, c, z, jax.random.PRNGKey(args.seed + i))
+        out = bpd(x, y, c, z, jax.random.fold_in(
+            jax.random.PRNGKey(args.seed + i), jax.process_index()))
         all_bpd.append(np.asarray(out["total_bpd"]))
         for k in all_metrics:
             all_metrics[k].append(np.asarray(out[k]))

@@ -76,3 +76,36 @@ def test_attention_train_gating_numerics():
         np.asarray(out_train, dtype=np.float32),
         np.asarray(out_eval, dtype=np.float32), atol=3e-2, rtol=3e-2,
     )
+
+
+def test_unet_routes_pallas_attention_in_bf16_train(monkeypatch):
+    """The UNet-level routing (_apply_seq head dispatch + train/dtype gate)
+    must actually reach the Pallas kernel for bf16 training - asserted with a
+    call counter so a broken dispatch can't pass silently."""
+    import causaldiffae_tpu.ops.attention_pallas as ap
+    from causaldiffae_tpu.config import Config, create_model
+
+    calls = {"n": 0}
+    real = ap.fused_qkv_attention
+
+    def counting(qkv, num_heads, interpret=None):
+        calls["n"] += 1
+        return real(qkv, num_heads, interpret)
+
+    monkeypatch.setattr(ap, "fused_qkv_attention", counting)
+
+    cfg = Config(
+        name="tiny", dataset="morphomnist", image_size=28, in_channels=1,
+        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
+        attention_resolutions="14", use_pallas=True, use_bf16=True,
+    )
+    model = create_model(cfg)
+    x = jnp.zeros((2, 28, 28, 1))
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, t, train=False)
+    assert calls["n"] == 0  # init traces with train=False -> XLA path
+
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+    eps, _ = model.apply(variables, x, t, train=True, rngs=rngs)
+    assert calls["n"] > 0, "bf16 train forward never reached the Pallas kernel"
+    assert bool(jnp.isfinite(eps).all())
