@@ -106,9 +106,14 @@ def inception_feature_fn(weights_path: Optional[str] = None,
             "inception FID requires torchvision; use classifier_feature_fn "
             "(trained-trunk features) on air-gapped hosts"
         ) from e
+    if not weights_path:
+        raise RuntimeError(
+            "inception FID needs a local weights file (no network egress to "
+            "download pretrained weights); random-init features would give a "
+            "meaningless FID. Use classifier_feature_fn instead."
+        )
     net = inception_v3(weights=None, aux_logits=True, init_weights=False)
-    if weights_path:
-        net.load_state_dict(torch.load(weights_path, map_location="cpu"))
+    net.load_state_dict(torch.load(weights_path, map_location="cpu"))
     net.fc = torch.nn.Identity()
     net.eval()
 

@@ -1,15 +1,24 @@
-"""Fused QKV self-attention Pallas kernel.
+"""Fused QKV self-attention Pallas kernel (bf16 training pass).
 
-The UNet's attention runs over tiny token counts (T = (image_size/ds)^2 <=
-256, SURVEY §5.7), so the whole (q k^T -> softmax -> @v) block for one
-(batch, head) fits in VMEM: one kernel program per (b, h) computes the full
-attention with both matmuls on the MXU and the softmax on the VPU, with NO
-intermediate HBM round-trips (XLA's unfused path materializes the [B,H,T,T]
-weights). Math matches `models.attention.qkv_attention` (and through it the
-reference `unet.py:239-253`): q and k pre-scaled by d^-1/4, softmax in fp32.
+One kernel program per BATCH ELEMENT reads the qkv projection's natural
+[T, 3C] layout (head-major interleave on the lane dim) and loops the heads
+statically inside the kernel - no host-side [B,T,H,3d] <-> [B,H,T,3d]
+relayout on either side (a per-(b,h) grid forced relayout copies worth ~10%
+of the train step; measured, see RESULTS.md). Both matmuls run on the MXU
+with fp32 accumulation, softmax on the VPU in fp32; math matches
+`models.attention.qkv_attention` (and through it the reference
+`unet.py:239-253`): q and k pre-scaled by d^-1/4.
 
-Backward: custom VJP that recomputes via the jnp reference path - at these
-shapes recompute is cheaper than saving the T x T probabilities.
+The MNIST config attends at full resolution (T=784); queries are processed
+in chunks only when the unchunked VMEM scratch estimate exceeds the scoped
+limit (`_q_chunk` - always-on chunking measured 15% slower).
+
+Backward: custom VJP, flash-style - recomputes the T x T probabilities in
+VMEM instead of reading saved forward weights from HBM (the saved-weights
+tensor alone is 630MB for the MNIST config; eliminating its round-trips is
+the kernel's reason to exist). Routed bf16-train-only by the caller
+(`models/attention.py`): XLA einsum wins forward-only chains, and fp32
+doubles the scratch past VMEM.
 """
 
 from __future__ import annotations

@@ -15,7 +15,8 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["gather_across_hosts", "mean_across_hosts", "is_primary_host"]
+__all__ = ["gather_across_hosts", "mean_across_hosts", "is_primary_host",
+           "sync_across_hosts"]
 
 
 def is_primary_host() -> bool:
@@ -34,6 +35,16 @@ def gather_across_hosts(x: np.ndarray) -> np.ndarray:
 
     gathered = multihost_utils.process_allgather(np.asarray(x))
     return np.reshape(gathered, (-1,) + tuple(np.shape(x)[1:]))
+
+
+def sync_across_hosts(tag: str = "barrier") -> None:
+    """Barrier across processes (e.g. wait for the primary host to finish
+    writing a shared file before others read it). Single-process: no-op."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
 
 
 def mean_across_hosts(value: float) -> float:

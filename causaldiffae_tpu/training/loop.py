@@ -119,7 +119,12 @@ class TrainLoop:
                     except AttributeError:  # non-array (already host) metric
                         pass
                 # capture the wall time NOW so the flushed rate is computed
-                # against this interval's clock, not the next one's
+                # against this interval's clock, not the next one's. NB this
+                # stamps DISPATCH time: the host may run ahead of the device
+                # by the (bounded, few-step) dispatch queue, so the first
+                # interval's samples_per_sec is approximate; it converges to
+                # the true device rate without ever draining the pipeline
+                # (a sync here is exactly the 2x slowdown this path removes).
                 pending, self._pending_metrics = (
                     self._pending_metrics, (step, metrics, time.time()))
                 if pending is not None:

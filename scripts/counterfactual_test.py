@@ -136,7 +136,7 @@ def main():
     )
     from causaldiffae_tpu.evals.quality import FID, default_feature_fn
     from causaldiffae_tpu.parallel import (
-        gather_across_hosts, is_primary_host, mean_across_hosts,
+        gather_across_hosts, is_primary_host, mean_across_hosts, sync_across_hosts,
     )
     from causaldiffae_tpu.models.unet import CausalUNet
     from causaldiffae_tpu.training import create_train_state, make_optimizer
@@ -218,7 +218,10 @@ def main():
     for f in range(n_factors):
         path = os.path.join(args.classifier_dir or args.out_dir,
                             f"classifier_{dataset}_{VAR_NAMES[dataset][f]}.pkl")
-        if not os.path.exists(path):
+        # multi-host: only the primary trains/writes the classifier file;
+        # everyone else waits at the barrier then reads it (avoids N
+        # redundant trainings and concurrent non-atomic pickle writes)
+        if not os.path.exists(path) and is_primary_host():
             logger.log(f"training anti-causal classifier for {VAR_NAMES[dataset][f]}...")
             tr = ClassifierTrainer(dataset, f, cfg.n_vars, seed=args.seed)
             n = len(train_pool["image"])
@@ -227,6 +230,7 @@ def main():
                    {k: v[cut:] for k, v in train_pool.items()},
                    epochs=20, batch_size=64, log_every=10)
             tr.save_best(path)
+        sync_across_hosts(f"clf_{f}")
         m, v, _ = load_classifier(path, cfg.n_vars)
         predictors.append(classifier_predict_fn(m, v))
         clf_mv.append((m, v))
@@ -305,13 +309,15 @@ def main():
             # `image_causaldae_test.py:500-520`); one row per sweep value.
             lo = (rng_range[0] - scale[var_idx, 0]) / scale[var_idx, 1]
             hi = (rng_range[1] - scale[var_idx, 0]) / scale[var_idx, 1]
+            # sweep at the FULL probe batch (same shape as the MAE loop below
+            # -> one XLA compilation per variable, not two; 3-6 min per extra
+            # chain compile through the axon tunnel), display the first 8
             k8 = min(8, len(probe_x))
-            cond8 = {kk: vv[:k8] for kk, vv in probe_cond.items()}
             rows = []
             for val in np.linspace(lo, hi, 8):
-                s = cf_fn(variables, probe_x[:k8], cond8, float(val),
+                s = cf_fn(variables, probe_x, probe_cond, float(val),
                           jax.random.PRNGKey(args.seed + 31))  # same key: only do() varies
-                rows.append(np.asarray(s))
+                rows.append(np.asarray(s)[:k8])
             trav = np.concatenate(rows, axis=0)
             if is_primary_host():
                 save_grid(trav, os.path.join(args.out_dir, f"traversal_{name}.png"),

@@ -94,24 +94,25 @@ def main():
 
     all_metrics = {"vb": [], "mse": [], "xstart_mse": []}
     all_bpd = []
-    n_done = 0
-    i = 0
-    while n_done < args.num_samples:
-        sel = slice(i * args.batch_size, (i + 1) * args.batch_size)
-        x = jnp.asarray(pool["image"][sel])
-        if x.shape[0] == 0:
-            break
-        y = jnp.asarray(pool["y"][sel]) if "y" in pool else None
-        c = jnp.asarray(pool["c"][sel]) if "c" in pool else None
+    # every host runs the SAME number of full-size batches over its shard
+    # (wrapping if the shard is short) so the cross-host gather sees equal
+    # shapes and the cross-host bpd mean weights hosts equally
+    per_host = -(-args.num_samples // jax.process_count())
+    n_batches = max(-(-per_host // args.batch_size), 1)
+    N = len(pool["image"])
+    for i in range(n_batches):
+        idx = (np.arange(args.batch_size) + i * args.batch_size) % N
+        x = jnp.asarray(pool["image"][idx])
+        y = jnp.asarray(pool["y"][idx]) if "y" in pool else None
+        c = jnp.asarray(pool["c"][idx]) if "c" in pool else None
         z = encode_z(x, jax.random.PRNGKey(1234 + i)) if cfg.rep_cond else None
         out = bpd(x, y, c, z, jax.random.fold_in(
             jax.random.PRNGKey(args.seed + i), jax.process_index()))
         all_bpd.append(np.asarray(out["total_bpd"]))
         for k in all_metrics:
             all_metrics[k].append(np.asarray(out[k]))
-        n_done += x.shape[0]
-        i += 1
-        logger.log(f"done {n_done} samples: bpd so far = {np.concatenate(all_bpd).mean():.4f}")
+        logger.log(f"done {(i + 1) * args.batch_size} samples: "
+                   f"bpd so far = {np.concatenate(all_bpd).mean():.4f}")
 
     from causaldiffae_tpu.parallel import (
         gather_across_hosts, is_primary_host, mean_across_hosts,

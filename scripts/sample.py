@@ -65,14 +65,16 @@ def main():
     if cfg.context_cond:
         cond["c"] = jnp.zeros((args.batch_size, 4))
 
+    # split the request across hosts: each generates its ceil(1/P) share
+    per_host = -(-args.num_samples // jax.process_count())
     all_images = []
     i = 0
-    while len(all_images) * args.batch_size < args.num_samples:
+    while len(all_images) * args.batch_size < per_host:
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed + i), jax.process_index())
         out = fn(variables, shape, cond, key)
         all_images.append(np.asarray(out))
         i += 1
-        logger.log(f"created {len(all_images) * args.batch_size} samples")
+        logger.log(f"created {len(all_images) * args.batch_size} samples (this host)")
 
     from causaldiffae_tpu.parallel import gather_across_hosts, is_primary_host
 
