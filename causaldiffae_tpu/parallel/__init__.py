@@ -1,4 +1,9 @@
 """Device mesh + sharding (data parallelism over ICI)."""
 
-from .collectives import gather_across_hosts, is_primary_host, mean_across_hosts
+from .collectives import (
+    gather_across_hosts,
+    is_primary_host,
+    mean_across_hosts,
+    sync_across_hosts,
+)
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, host_local_batch_size, make_mesh, replicated, shard_batch
