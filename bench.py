@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark: MorphoMNIST CausalDiffAE on one TPU chip.
+"""Benchmark: the three CausalDiffAE workload families on one TPU chip.
 
 Measures (1) training throughput (samples/sec) for the full
 morphomnist_causaldae preset (28px, 128ch UNet + causal encoder + SCM +
-masked variational objective, batch 128) and (2) DDIM sampling throughput
-(respaced 250-step chain, the reference's eval config).
+masked variational objective, batch 128), (2) DDIM sampling throughput
+(respaced 250-step chain, the reference's eval config), and (3) train
+step-time/TFLOPS/MFU for the pendulum (96px) and circuit (128px, T=2000)
+presets so a perf regression in any family is driver-visible.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -12,6 +14,8 @@ Prints ONE JSON line:
 ``vs_baseline`` compares against the PyTorch reference running the same
 config on this host's CPU (the only hardware the reference can use here),
 measured once and cached in BASELINE_local.json.
+
+``--presets a,b`` restricts the families (default: all three).
 """
 
 import json
@@ -26,6 +30,7 @@ sys.path.insert(0, str(REPO))
 BASELINE_LOCAL = REPO / "BASELINE_local.json"
 TRAIN_STEPS = 20
 SAMPLE_BATCH = 16
+ALL_PRESETS = ("morphomnist_causaldae", "pendulum_causaldae", "circuit_causaldae")
 
 
 def measure_torch_baseline(n_steps: int = 2) -> dict:
@@ -91,7 +96,79 @@ def get_baseline() -> dict:
         return {"error": str(e)}
 
 
+def peak_bf16_tflops(device) -> tuple:
+    """Per-chip bf16 peak for the MFU denominator.
+
+    Prefers device-reported attributes when the runtime exposes them (some
+    PJRT builds publish peak-flops keys); falls back to the public datasheet
+    table keyed on device_kind. Returns (peak_tflops_or_None, source).
+    """
+    for attrs_name in ("attributes", "client_attributes"):
+        attrs = getattr(device, attrs_name, None)
+        if isinstance(attrs, dict):
+            for key in ("peak_bf16_tflops", "peak_tflops_bf16", "peak_flops"):
+                v = attrs.get(key)
+                if v:
+                    v = float(v)
+                    if v > 1e6:  # reported in FLOP/s
+                        v /= 1e12
+                    return v, f"device.{attrs_name}[{key}]"
+    kind = device.device_kind.lower()
+    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+             "v6 lite": 918.0, "v6e": 918.0}
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+    return peak, "datasheet_table"
+
+
+def bench_train_only(preset: str) -> dict:
+    """Step-time/TFLOPS/MFU for one preset (no feed/sampler measurements)."""
+    import jax
+    import jax.numpy as jnp
+
+    from causaldiffae_tpu.config import create_diffusion, create_model, get_config
+    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.training import create_train_state, make_optimizer, make_train_step
+    from causaldiffae_tpu.utils.profiling import unet_flops_per_sample
+
+    cfg = get_config(preset).replace(use_bf16=True)
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+    it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=max(cfg.batch_size * 4, 128))
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    state = jax.device_put(state, jax.devices()[0])
+    step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx), donate_argnums=0)
+    for _ in range(3):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(TRAIN_STEPS):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / TRAIN_STEPS
+    sps = cfg.batch_size / dt
+    tflops = 3.0 * unet_flops_per_sample(cfg) * sps / 1e12
+    peak, _ = peak_bf16_tflops(jax.devices()[0])
+    return {
+        "train_step_time_s": round(dt, 5),
+        "train_samples_per_sec": round(sps, 2),
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops / peak, 4) if peak else None,
+        "batch_size": cfg.batch_size,
+    }
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--presets", default=",".join(ALL_PRESETS),
+                    help="comma-separated preset names (first one gets the "
+                         "full feed/sampler/baseline treatment)")
+    cli = ap.parse_args()
+    presets = [p for p in cli.presets.split(",") if p]
+
     import jax
 
     # persistent compile cache: bench compiles once per machine, not per run
@@ -106,7 +183,7 @@ def main():
     from causaldiffae_tpu.models.unet import CausalUNet
     from causaldiffae_tpu.training import create_train_state, make_optimizer, make_train_step
 
-    cfg = get_config("morphomnist_causaldae").replace(use_bf16=True)
+    cfg = get_config(presets[0]).replace(use_bf16=True)
     model = create_model(cfg)
     diffusion = create_diffusion(cfg)
     it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=1024)
@@ -183,15 +260,11 @@ def main():
 
     flops_per_sample = 3.0 * unet_flops_per_sample(cfg)
     achieved_tflops = flops_per_sample * train_sps / 1e12
-    # bf16 peak per chip by device kind (TPU v4/v5e/v5p/v6e datasheets)
-    kind = jax.devices()[0].device_kind.lower()
-    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-             "v6 lite": 918.0, "v6e": 918.0}
-    peak = next((v for k, v in peaks.items() if k in kind), None)
+    peak, peak_source = peak_bf16_tflops(jax.devices()[0])
     mfu = achieved_tflops / peak if peak else None
 
     result = {
-        "metric": "train_samples_per_sec_morphomnist_causaldae",
+        "metric": f"train_samples_per_sec_{presets[0]}",
         "value": round(train_sps, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -202,11 +275,22 @@ def main():
         "tflops": round(achieved_tflops, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "peak_tflops_denominator": peak,
+        "peak_tflops_source": peak_source,
+        "flops_note": "flops_per_sample is the analytic UNet conv+attention "
+                      "model only; encoder+SCM FLOPs are omitted, so "
+                      "tflops/mfu are conservative (understated)",
         "ddim250_chain_steps_per_sec": round(ddim_steps_per_sec, 2),
         "ddim250_images_per_sec": round(ddim_images_per_sec, 3),
         "device": str(jax.devices()[0]),
         "batch_size": cfg.batch_size,
     }
+    # the other workload families: step time / TFLOPS / MFU as nested keys
+    # (morphomnist top-level keys stay stable for the driver)
+    for preset in presets[1:]:
+        try:
+            result[preset] = bench_train_only(preset)
+        except Exception as e:  # keep the primary metric even if one fails
+            result[preset] = {"error": str(e)}
     print(json.dumps(result))
 
 

@@ -148,9 +148,17 @@ def load_circuit(root: str, split: str = "train", image_size: int = 128,
             for i in np.nonzero(keep)[0]:
                 with Image.open(_io.BytesIO(imgs[i])) as im:
                     im = im.convert("RGB")
+                    # torchvision Resize(int) PIL semantics (the reference's
+                    # transform, `image_datasets.py:463`): smaller edge ->
+                    # image_size, other edge scaled with int() truncation,
+                    # no-op when the smaller edge already matches
                     w, h = im.size
-                    s = image_size / min(w, h)  # torchvision Resize(128) semantics
-                    im = im.resize((round(w * s), round(h * s)), Image.BILINEAR)
+                    if not ((w <= h and w == image_size) or (h <= w and h == image_size)):
+                        if w < h:
+                            ow, oh = image_size, int(image_size * h / w)
+                        else:
+                            oh, ow = image_size, int(image_size * w / h)
+                        im = im.resize((ow, oh), Image.BILINEAR)
                     images.append(np.asarray(im, dtype=np.float32) / 255.0)
                 labels.append(lat[i][perm])
     return {"image": np.stack(images), "c": np.asarray(labels, dtype=np.float32)}
@@ -272,10 +280,22 @@ def load_data(*, data_dir: str, batch_size: int, image_size: int,
     """Dispatcher keyed on the directory name (reference `image_datasets.py:69-126`),
     with per-process sharding for multi-host training. The training feed goes
     through the native C++ prefetch loader when available (see
-    `make_data_iterator`)."""
+    `make_data_iterator`).
+
+    ``batch_size`` is the GLOBAL batch: in multi-host mode each process keeps
+    only its ``[shard::num_shards]`` dataset slice and yields
+    ``batch_size // num_shards`` rows per batch, which
+    ``parallel.mesh.shard_host_local`` assembles into the global on-mesh
+    array. (Deviation from the reference, where the flag is per-rank and the
+    global batch is batch×world, `train_util.py:78`.)
+    """
     if not data_dir:
         raise ValueError("unspecified data directory")
     shard, num_shards = _proc_shard()
+    if batch_size % num_shards != 0:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by process count {num_shards}")
+    batch_size //= num_shards
     if "morphomnist" in data_dir:
         data = load_morphomnist(data_dir, train=(split == "train"))
     elif "pendulum" in data_dir:

@@ -82,13 +82,29 @@ def _synthetic_dataset_raw(dataset: str, n: int, seed: int = 0,
 
 def synthetic_iterator(dataset: str, batch_size: int, seed: int = 0,
                        image_size: Optional[int] = None, pool: int = 4096,
-                       native: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
+                       native: Optional[bool] = None,
+                       shard: bool = True) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite shuffled batch iterator over a fixed synthetic pool.
 
     Served by the native C++ prefetch loader when available (uint8 pool +
     fused normalize on worker threads); numpy fallback otherwise.
+
+    ``batch_size`` is the GLOBAL batch: with ``shard=True`` (the default) a
+    multi-host run gives each process its ``[rank::P]`` slice of the pool and
+    yields ``batch_size // P`` rows per batch — the same per-host feed
+    convention as `loaders.load_data`. ``shard=False`` keeps the full pool
+    and full batch on every process (for tests that need identical global
+    batches everywhere).
     """
-    from .loaders import make_data_iterator
+    from .loaders import _proc_shard, _shard, make_data_iterator
 
     data = synthetic_dataset(dataset, pool, seed=seed, image_size=image_size)
+    if shard:
+        rank, num_shards = _proc_shard()
+        if num_shards > 1:
+            if batch_size % num_shards != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by process count {num_shards}")
+            data = _shard(data, rank, num_shards)
+            batch_size //= num_shards
     return make_data_iterator(data, batch_size, seed=seed + 1, native=native)

@@ -108,16 +108,23 @@ def ddim_reverse_loop(
     w: Optional[float] = None,
     uncond_fn=None,
 ) -> jnp.ndarray:
-    """Deterministic DDIM inversion x_0 -> x_T (abduction by ODE).
+    """Deterministic DDIM inversion x_0 -> x_{T-1} (abduction by ODE).
 
     The reference ships `ddim_reverse_sample` (`gaussian_diffusion.py:560-596`)
     but its eval path abducts with a stochastic `q_sample` at t=249
     (`image_causaldae_test.py:415-419`); both are supported - this is the
     deterministic one, scanning t = 0..num_steps-1 forward. Pass the same
     (w, uncond_fn) guidance as the generation chain for exact roundtrips.
+
+    The default inverts T-1 steps, yielding x at level T-1 - the level the
+    generation scan treats its input as (its first step runs t=T-1). One
+    more step would be destructive, not just misaligned: the reference's
+    alphas_cumprod_next[T-1] == 0 (`gaussian_diffusion.py:146`) collapses
+    the state to pure predicted eps. Verified by the analytic roundtrip
+    test (`tests/test_evals.py::test_guided_ddim_roundtrip_identity`).
     """
     B = x0.shape[0]
-    n = num_steps if num_steps is not None else diffusion.num_timesteps
+    n = num_steps if num_steps is not None else diffusion.num_timesteps - 1
 
     def step(x, t_scalar):
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)

@@ -6,4 +6,5 @@ from .collectives import (
     mean_across_hosts,
     sync_across_hosts,
 )
-from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, host_local_batch_size, make_mesh, replicated, shard_batch
+from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, host_local_batch_size,
+                   make_mesh, replicated, shard_batch, shard_host_local)

@@ -18,7 +18,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "host_local_batch_size"]
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
+           "shard_host_local", "host_local_batch_size"]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -45,11 +46,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, sharded on the leading axis."""
+    """Place a host batch dict onto the mesh, sharded on the leading axis.
+
+    The input is the GLOBAL batch; in multi-process mode every host must pass
+    the same global array (each host's device_put slices out only its
+    addressable shards). For per-host *different* data use
+    :func:`shard_host_local` instead.
+    """
     sh = data_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def host_local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    """Per-host slice of the global batch (multi-host data loading)."""
-    return global_batch // jax.process_count()
+def shard_host_local(mesh: Mesh, batch):
+    """Assemble a global on-mesh batch from per-process LOCAL rows.
+
+    Each process passes only its own ``global_batch // process_count`` rows
+    (its dataset shard's batch); `jax.make_array_from_process_local_data`
+    stitches them into one global array sharded on the data axis. This is the
+    multi-host training feed: no host materializes or transfers rows another
+    host consumes — the reference's DDP per-rank feed semantics
+    (`train_util.py:78`, `image_datasets.py:120-124`) without replicating the
+    loader work P times. Single-process it is identical to ``shard_batch``.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
+
+
+def host_local_batch_size(global_batch: int, num_shards: Optional[int] = None) -> int:
+    """Per-host slice of the global batch (multi-host data loading).
+
+    ``cfg.batch_size`` is the GLOBAL batch everywhere in this repo (a
+    deliberate deviation from the reference, where the flag is per-rank and
+    the global batch is batch×world, `train_util.py:78`); each host loads and
+    feeds only this many rows.
+    """
+    if num_shards is None:
+        num_shards = jax.process_count()
+    if global_batch % num_shards != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {num_shards}"
+        )
+    return global_batch // num_shards

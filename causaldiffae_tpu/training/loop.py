@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated, shard_batch, shard_host_local
 from ..utils import logger
 from .checkpoint import CheckpointManager
 from .state import create_train_state, make_optimizer
@@ -64,6 +64,11 @@ class TrainLoop:
         self._pending_metrics = None
 
     def _put(self, batch):
+        # multi-host: each process's loader yields only its B/P rows (the
+        # load_data/synthetic_iterator per-host feed convention);
+        # shard_host_local stitches them into the global on-mesh batch
+        if self.mesh is not None and jax.process_count() > 1:
+            return shard_host_local(self.mesh, batch)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)

@@ -123,6 +123,16 @@ def main():
                         help="qsample: stochastic forward abduction at t=249 "
                              "(the reference's shipped path); ddim: exact "
                              "deterministic DDIM inversion")
+    parser.add_argument("--where", choices=["auto", "pre", "post"], default="auto",
+                        help="intervention site for causaldae mode: pre = on mu "
+                             "before the SCM pass (root-variable convention, "
+                             "image_causaldae_test.py:408), post = on z_post "
+                             "after it (the reference's SHIPPED convention for "
+                             "every variable incl. roots, :570-573), auto = "
+                             "pre for roots / post for effect variables")
+    parser.add_argument("--clf_epochs", type=int, default=100,
+                        help="anti-causal classifier training epochs "
+                             "(reference classifiers.py uses 100)")
     args = parser.parse_args()
 
     import jax
@@ -214,7 +224,7 @@ def main():
     # ---------------- effectiveness branch ---------------- #
     # anti-causal classifiers: load if provided, else quick-train on the pool
     n_factors = len(VAR_NAMES[dataset])
-    predictors, clf_mv = [], []
+    predictors, clf_mv, clf_val_mse = [], [], {}
     for f in range(n_factors):
         path = os.path.join(args.classifier_dir or args.out_dir,
                             f"classifier_{dataset}_{VAR_NAMES[dataset][f]}.pkl")
@@ -225,15 +235,20 @@ def main():
             logger.log(f"training anti-causal classifier for {VAR_NAMES[dataset][f]}...")
             tr = ClassifierTrainer(dataset, f, cfg.n_vars, seed=args.seed)
             n = len(train_pool["image"])
+            # shuffle before the 90/10 split: real archives can be
+            # index-sorted (morpho CSV), and a sorted tail makes the val set
+            # unrepresentative
+            perm = np.random.RandomState(args.seed + 17).permutation(n)
             cut = int(n * 0.9)
-            tr.fit({k: v[:cut] for k, v in train_pool.items()},
-                   {k: v[cut:] for k, v in train_pool.items()},
-                   epochs=20, batch_size=64, log_every=10)
+            tr.fit({k: v[perm[:cut]] for k, v in train_pool.items()},
+                   {k: v[perm[cut:]] for k, v in train_pool.items()},
+                   epochs=args.clf_epochs, batch_size=64, log_every=10)
             tr.save_best(path)
         sync_across_hosts(f"clf_{f}")
-        m, v, _ = load_classifier(path, cfg.n_vars)
+        m, v, meta = load_classifier(path, cfg.n_vars)
         predictors.append(classifier_predict_fn(m, v))
         clf_mv.append((m, v))
+        clf_val_mse[VAR_NAMES[dataset][f]] = float(meta.get("best_val", float("nan")))
 
     fid = None
     if args.compute_fid:
@@ -300,7 +315,7 @@ def main():
         if args.mode != "conditional":
             cf_fn = jax.jit(make_counterfactual_fn(
                 cfg, model, eval_diffusion, intervene_var=var_idx,
-                where="pre" if args.mode == "diffae" else "auto",
+                where="pre" if args.mode == "diffae" else args.where,
                 use_ddim=cfg.eval_use_ddim, w=w, abduction=args.abduction,
             ))
         if args.traversal and args.mode != "conditional":
@@ -369,9 +384,13 @@ def main():
             save_grid(allg[:64], os.path.join(args.out_dir, f"grid_do_{name}.png"))
         logger.log(f"do({name}): saved {len(allg)} samples")
 
-    # MAE averaged across hosts (reference `:1046-1076`)
+    # MAE averaged across hosts (reference `:1046-1076`); each MAE ships with
+    # its probe's calibration (the classifier's best val MSE) so the metric's
+    # trustworthiness is visible next to the number it bounds
     result = {f"mae_{k}": mean_across_hosts(float(np.mean(v)))
               for k, v in mae.items() if v}
+    for k, v in clf_val_mse.items():
+        result[f"clf_val_mse_{k}"] = v
     if fid is not None:
         result["fid"] = fid.compute()
         logger.log(f"FID (counterfactuals vs real): {result['fid']:.3f}")

@@ -1,13 +1,26 @@
-"""Worker process for the 2-process multi-host training smoke test.
+"""Worker process for the 2-process multi-host training smoke tests.
 
 Each process owns 4 virtual CPU devices; `jax.distributed.initialize` +
 gloo CPU collectives form an 8-device global mesh across the 2 processes -
 the same topology a 2-host TPU pod slice presents (SURVEY §2.12; replaces
 the reference's `mpiexec -n N` + gloo rendezvous, `dist_util.py:21-41`).
 
-Runs 2 jitted train steps over the global mesh and writes a fingerprint of
-the updated params; the parent test asserts both processes' fingerprints are
-identical (replicas in sync across hosts).
+Two modes (argv[5]):
+
+- ``rawstep``: identical global batches on every process fed through
+  ``shard_batch`` into the raw jitted train step (the round-2 test).
+- ``trainloop``: the SHIPPED path end to end - ``load_data`` reads a real
+  on-disk MorphoMNIST archive (argv[6]), each process gets its own dataset
+  shard and yields only global_batch/P rows per batch (asserted here: no
+  host loads rows it won't consume), and ``TrainLoop`` assembles the global
+  batch via ``shard_host_local`` / `jax.make_array_from_process_local_data`.
+  This is the reference's DDP feed (`train_util.py:78` +
+  `image_datasets.py:120-124`) done the JAX way.
+
+Both modes write a fingerprint of the updated params; the parent test
+asserts the processes' fingerprints are bitwise identical (replicas in sync
+across hosts - the guarantee the reference's no-op ``sync_params``,
+`dist_util.py:67-74`, never verified).
 
 Invoked by tests/test_multihost.py - not a pytest module itself.
 """
@@ -28,7 +41,97 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 
-def main(process_id: int, num_processes: int, port: int, outdir: str) -> None:
+def _small_cfg():
+    from causaldiffae_tpu.config import Config
+
+    return Config(
+        name="mh_smoke", dataset="morphomnist", image_size=28, in_channels=1,
+        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
+        attention_resolutions="14", class_cond=True, rep_cond=True,
+        causal_modeling=True, masking=True, diffusion_steps=100,
+        batch_size=16,
+    )
+
+
+def _fingerprint(params, losses, outdir, process_id):
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    fp = {
+        jax.tree_util.keystr(path): np.asarray(leaf.addressable_shards[0].data)
+        for path, leaf in leaves
+    }
+    fp["__losses__"] = np.asarray(losses)
+    np.savez(os.path.join(outdir, f"fingerprint_{process_id}.npz"), **fp)
+
+
+def run_rawstep(cfg, outdir, process_id):
+    import jax.numpy as jnp
+
+    from causaldiffae_tpu.config import create_diffusion, create_model
+    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.parallel import make_mesh, replicated, shard_batch
+    from causaldiffae_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh()  # global: 8 devices across 2 processes
+
+    # identical seed + shard=False -> identical global batches everywhere;
+    # device_put against the global sharding slices out local shards
+    it = synthetic_iterator(cfg.dataset, cfg.batch_size, seed=0, pool=64,
+                            native=False, shard=False)
+    batches = [{k: jnp.asarray(v) for k, v in next(it).items()} for _ in range(3)]
+
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batches[0])
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx))
+
+    losses = []
+    for batch in batches[:2]:
+        state, metrics = step_fn(state, shard_batch(mesh, batch))
+        losses.append(float(metrics["loss"]))  # fully-replicated global array
+    _fingerprint(state.params, losses, outdir, process_id)
+
+
+def run_trainloop(cfg, outdir, process_id, data_dir):
+    from causaldiffae_tpu.config import create_diffusion, create_model
+    from causaldiffae_tpu.data import load_data
+    from causaldiffae_tpu.training.loop import TrainLoop
+
+    local_expect = cfg.batch_size // jax.process_count()
+    data = load_data(data_dir=data_dir, batch_size=cfg.batch_size,
+                     image_size=cfg.image_size, seed=0, native=False)
+
+    consumed = {"rows": 0}
+
+    def checked(it):
+        # the no-waste property: every yielded (= loaded) batch is exactly
+        # the B/P rows this host's devices will consume
+        for b in it:
+            assert b["image"].shape[0] == local_expect, (
+                f"host loaded {b['image'].shape[0]} rows, consumes {local_expect}")
+            consumed["rows"] += b["image"].shape[0]
+            yield b
+
+    model = create_model(cfg)
+    diffusion = create_diffusion(cfg)
+    loop = TrainLoop(cfg, model, diffusion, checked(data), ckpt_dir=None)
+    state = loop.run_loop(num_steps=3)
+    # global batch semantics: each jitted step consumed cfg.batch_size rows
+    # globally; this host fed B/P rows each for the init batch, the 3 steps,
+    # and the one prefetched batch left in flight - nothing more
+    assert consumed["rows"] == 5 * local_expect, consumed["rows"]
+    _fingerprint(state.params, [float(state.step)], outdir, process_id)
+
+
+def main(process_id: int, num_processes: int, port: int, outdir: str,
+         mode: str, data_dir: str) -> None:
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_processes,
@@ -41,55 +144,16 @@ def main(process_id: int, num_processes: int, port: int, outdir: str) -> None:
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-    import jax.numpy as jnp
-    import numpy as np
-
-    from causaldiffae_tpu.config import Config, create_diffusion, create_model
-    from causaldiffae_tpu.data import synthetic_iterator
-    from causaldiffae_tpu.parallel import make_mesh, replicated, shard_batch
-    from causaldiffae_tpu.training import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
-
-    cfg = Config(
-        name="mh_smoke", dataset="morphomnist", image_size=28, in_channels=1,
-        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
-        attention_resolutions="14", class_cond=True, rep_cond=True,
-        causal_modeling=True, masking=True, diffusion_steps=100,
-        batch_size=16,
-    )
-    model = create_model(cfg)
-    diffusion = create_diffusion(cfg)
-    tx = make_optimizer(cfg)
-    mesh = make_mesh()  # global: 8 devices across 2 processes
-
-    # identical seed on every process -> identical global batches; device_put
-    # against the global sharding slices out each process's local shards
-    it = synthetic_iterator(cfg.dataset, cfg.batch_size, seed=0, pool=64,
-                            native=False)
-    batches = [{k: jnp.asarray(v) for k, v in next(it).items()} for _ in range(3)]
-
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batches[0])
-    state = jax.device_put(state, replicated(mesh))
-    step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx))
-
-    losses = []
-    for batch in batches[:2]:
-        state, metrics = step_fn(state, shard_batch(mesh, batch))
-        losses.append(float(metrics["loss"]))  # fully-replicated global array
-
-    # fingerprint: local copy of every (replicated) param leaf
-    leaves = jax.tree_util.tree_leaves_with_path(state.params)
-    fp = {
-        jax.tree_util.keystr(path): np.asarray(leaf.addressable_shards[0].data)
-        for path, leaf in leaves
-    }
-    fp["__losses__"] = np.asarray(losses)
-    np.savez(os.path.join(outdir, f"fingerprint_{process_id}.npz"), **fp)
-    print(f"worker {process_id}: OK losses={losses}")
+    cfg = _small_cfg()
+    if mode == "rawstep":
+        run_rawstep(cfg, outdir, process_id)
+    elif mode == "trainloop":
+        run_trainloop(cfg, outdir, process_id, data_dir)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+    print(f"worker {process_id}: OK mode={mode}")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+         sys.argv[5], sys.argv[6] if len(sys.argv) > 6 else "")

