@@ -11,12 +11,13 @@ runs in float32.
 Token counts here are tiny (<= (image_size/8)^2 <= 256 - SURVEY §5.7), so a
 single fused kernel covers every config; `use_pallas=True` routes the
 softmax(QK^T)V core through the Pallas fused kernel in
-`ops/attention_pallas.py` DURING TRAINING ONLY - measured on v5e, the flash
-kernel wins the fwd+bwd pass (118 -> 79 ms/step: no saved softmax weights,
-64GB less HBM traffic) but LOSES the forward-only sampling chain (690 vs
-613 ms per DDIM-250 chain: without a backward to feed, XLA's einsum fusion
-is already optimal and the kernel boundary only costs). Inference uses the
-XLA einsum path.
+`ops/attention_pallas.py` for ALL bf16 passes - measured on v5e, the flash
+kernel wins the fwd+bwd training pass (118 -> 79 ms/step: no saved softmax
+weights, 64GB less HBM traffic) and, since the round-2 natural-layout
+rewrite removed the host-side relayout copies, also the forward-only
+sampling chain (592.8 vs 616.6 ms per DDIM-250 chain, measured round 3;
+the pre-rewrite kernel LOST that comparison 690 vs 613). fp32 still routes
+to the XLA einsum path (kernel scratch doubles past scoped VMEM at T=784).
 """
 
 from __future__ import annotations
@@ -69,12 +70,13 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(B, H * W, C)
         normed = GroupNorm32()(tokens)
         qkv = DenseT(3 * C, dtype=self.dtype)(normed)
-        # Pallas only helps the bf16 TRAINING pass (recompute-backward beats
-        # materializing the T x T softmax weights to HBM). fp32 doubles every
-        # kernel scratch array past the 16MB scoped-VMEM limit at T=784, and
-        # XLA's einsum path handles fp32 fine (spilling to HBM), so fp32
-        # routes there.
-        if self.use_pallas and train and qkv.dtype == jnp.bfloat16:
+        # Pallas handles every bf16 pass: training (recompute-backward beats
+        # materializing the T x T softmax weights to HBM) and forward-only
+        # sampling (wins since the natural-layout rewrite; RESULTS.md
+        # "Kernel routing"). fp32 doubles every kernel scratch array past
+        # the 16MB scoped-VMEM limit at T=784, and XLA's einsum path
+        # handles fp32 fine (spilling to HBM), so fp32 routes there.
+        if self.use_pallas and qkv.dtype == jnp.bfloat16:
             from ..ops.attention_pallas import fused_qkv_attention
 
             h = fused_qkv_attention(qkv, self.num_heads)

@@ -16,9 +16,10 @@ limit (`_q_chunk` - always-on chunking measured 15% slower).
 Backward: custom VJP, flash-style - recomputes the T x T probabilities in
 VMEM instead of reading saved forward weights from HBM (the saved-weights
 tensor alone is 630MB for the MNIST config; eliminating its round-trips is
-the kernel's reason to exist). Routed bf16-train-only by the caller
-(`models/attention.py`): XLA einsum wins forward-only chains, and fp32
-doubles the scratch past VMEM.
+the kernel's reason to exist). Routed for all bf16 passes by the caller
+(`models/attention.py`): since the natural-layout rewrite the forward
+kernel also wins forward-only DDIM chains (592.8 vs 616.6 ms, round 3);
+fp32 still routes to XLA einsum (scratch doubles past VMEM).
 """
 
 from __future__ import annotations
@@ -87,7 +88,6 @@ def _attn_kernel(qkv_ref, o_ref, *, num_heads: int):
     dt = qkv.dtype
     scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
     cq = _q_chunk(T, qkv.dtype.itemsize, backward=False)
-    outs = []
     for h in range(num_heads):
         base = h * 3 * d
         q = qkv[:, base:base + d] * scale
@@ -95,14 +95,13 @@ def _attn_kernel(qkv_ref, o_ref, *, num_heads: int):
         v = qkv[:, base + 2 * d:base + 3 * d]
         # bf16 operands + fp32 accumulation: native MXU passes; matches the
         # reference's pre-scaled low-precision matmul + fp32 softmax
-        # (unet.py:248-252)
-        rows = []
+        # (unet.py:248-252). Per-(head, chunk) results are stored straight
+        # into the output ref's lane slice - no in-VMEM concatenation pass.
         for i in range(0, T, cq):
             s = jnp.dot(q[i:i + cq], k.T, preferred_element_type=jnp.float32)
             p = jax.nn.softmax(s, axis=-1)
-            rows.append(jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32))
-        outs.append(jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0])
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+            o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
+            o_ref[0, i:i + cq, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
 def _forward(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
@@ -141,16 +140,15 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
     dt = qkv.dtype
     scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
     cq = _q_chunk(T, qkv.dtype.itemsize, backward=True)
-    outs = []
     for h in range(num_heads):
         base = h * 3 * d
         q = qkv[:, base:base + d] * scale
         k = qkv[:, base + d:base + 2 * d] * scale
         v = qkv[:, base + 2 * d:base + 3 * d]
         g = g_all[:, h * d:(h + 1) * d]
-        # flash-style query chunks: dq rows are chunk-local, dk/dv accumulate
-        # across chunks; bf16 matmul operands, fp32 accumulation/softmax
-        dq_rows = []
+        # flash-style query chunks: dq rows are chunk-local (stored straight
+        # into the output lane slice), dk/dv accumulate across chunks; bf16
+        # matmul operands, fp32 accumulation/softmax
         dk = jnp.zeros((T, d), dtype=jnp.float32)
         dv = jnp.zeros((T, d), dtype=jnp.float32)
         for i in range(0, T, cq):
@@ -163,11 +161,11 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
             dp = jnp.dot(gc, v.T, preferred_element_type=jnp.float32)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             ds_lp = ds.astype(dt)
-            dq_rows.append(jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale)
+            dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
+            dqkv_ref[0, i:i + cq, base:base + d] = dq.astype(dqkv_ref.dtype)
             dk = dk + jnp.dot(ds_lp.T, qc, preferred_element_type=jnp.float32) * scale
-        dq = jnp.concatenate(dq_rows, axis=0) if len(dq_rows) > 1 else dq_rows[0]
-        outs.extend([dq, dk, dv])
-    dqkv_ref[0] = jnp.concatenate(outs, axis=-1).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, base + d:base + 2 * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, base + 2 * d:base + 3 * d] = dv.astype(dqkv_ref.dtype)
 
 
 def _backward(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:

@@ -31,24 +31,28 @@ def parse_perfetto(logdir: str, steps: int):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"] if isinstance(trace, dict) else trace
-    # identify device tracks (TPU/device PIDs) via process_name metadata
-    pid_name = {}
+    # the device timeline has three nested tracks (Steps > XLA Modules >
+    # XLA Ops); aggregate ONLY the leaf "XLA Ops" thread of the TPU process
+    # so nothing is double-counted
+    pid_name, tid_name = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pid_name[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dur_by_op = defaultdict(float)
     cnt_by_op = defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        pname = pid_name.get(e.get("pid"), "")
-        if not any(k in pname for k in ("TPU", "Device", "/device")):
+        if "device" not in pid_name.get(e.get("pid"), "").lower():
             continue
-        # skip the launch/step meta-rows; keep XLA op rows
+        if tid_name.get((e["pid"], e.get("tid"))) != "XLA Ops":
+            continue
         name = e.get("name", "")
-        if name.startswith(("jit_", "pjit")) or name in ("train",):
-            continue
         dur_by_op[name] += e["dur"]
         cnt_by_op[name] += 1
         total += e["dur"]

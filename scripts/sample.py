@@ -70,7 +70,13 @@ def main():
     all_images = []
     i = 0
     while len(all_images) * args.batch_size < per_host:
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed + i), jax.process_index())
+        # fold in a purpose tag so the batch-counter stream can never collide
+        # with a caller reusing seed+i for another purpose (e.g. per-variable
+        # loops elsewhere reuse small integers)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(args.seed), jax.process_index()),
+            0x5A3F0 + i,
+        )
         out = fn(variables, shape, cond, key)
         all_images.append(np.asarray(out))
         i += 1

@@ -60,28 +60,33 @@ def test_unet_with_pallas_attention_flag():
 
 
 def test_attention_train_gating_numerics():
-    """Pallas (bf16 train) and XLA (eval) attention paths must agree within
-    bf16 tolerance, so train/eval routing cannot change model behavior.
-    The kernel is gated to bf16 (fp32 doubles its VMEM scratch past the
-    16MB scoped limit at T=784); fp32 must take the XLA path everywhere."""
+    """Pallas (all bf16 passes since round 3) and XLA (use_pallas=False)
+    attention must agree within bf16 tolerance, so kernel routing cannot
+    change model behavior. The kernel is gated to bf16 (fp32 doubles its
+    VMEM scratch past the 16MB scoped limit at T=784); fp32 must take the
+    XLA path everywhere."""
     from causaldiffae_tpu.models.attention import AttentionBlock
 
-    blk = AttentionBlock(channels=32, num_heads=2, use_pallas=True,
-                         dtype=jnp.bfloat16)
+    blk_pallas = AttentionBlock(channels=32, num_heads=2, use_pallas=True,
+                                dtype=jnp.bfloat16)
+    blk_xla = AttentionBlock(channels=32, num_heads=2, use_pallas=False,
+                             dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 7, 32), jnp.bfloat16)
-    variables = blk.init(jax.random.PRNGKey(3), x, False)
-    out_eval = blk.apply(variables, x, False)   # XLA einsum path
-    out_train = blk.apply(variables, x, True)   # Pallas kernel path
-    np.testing.assert_allclose(
-        np.asarray(out_train, dtype=np.float32),
-        np.asarray(out_eval, dtype=np.float32), atol=3e-2, rtol=3e-2,
-    )
+    variables = blk_xla.init(jax.random.PRNGKey(3), x, False)
+    out_xla = blk_xla.apply(variables, x, False)
+    for train in (False, True):  # bf16 routes Pallas in BOTH passes now
+        out_pallas = blk_pallas.apply(variables, x, train)
+        np.testing.assert_allclose(
+            np.asarray(out_pallas, dtype=np.float32),
+            np.asarray(out_xla, dtype=np.float32), atol=3e-2, rtol=3e-2,
+        )
 
 
 def test_unet_routes_pallas_attention_in_bf16_train(monkeypatch):
-    """The UNet-level routing (_apply_seq head dispatch + train/dtype gate)
-    must actually reach the Pallas kernel for bf16 training - asserted with a
-    call counter so a broken dispatch can't pass silently."""
+    """The UNet-level routing (_apply_seq head dispatch + dtype gate) must
+    actually reach the Pallas kernel for every bf16 pass (train AND eval,
+    the round-3 contract) and never for fp32 - asserted with a call counter
+    so a broken dispatch can't pass silently."""
     import causaldiffae_tpu.ops.attention_pallas as ap
     from causaldiffae_tpu.config import Config, create_model
 
@@ -103,9 +108,18 @@ def test_unet_routes_pallas_attention_in_bf16_train(monkeypatch):
     x = jnp.zeros((2, 28, 28, 1))
     t = jnp.zeros((2,), dtype=jnp.int32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, t, train=False)
-    assert calls["n"] == 0  # init traces with train=False -> XLA path
+    n_init = calls["n"]
+    assert n_init > 0, "bf16 eval trace (init) never reached the Pallas kernel"
 
     rngs = {"dropout": jax.random.PRNGKey(1)}
     eps, _ = model.apply(variables, x, t, train=True, rngs=rngs)
-    assert calls["n"] > 0, "bf16 train forward never reached the Pallas kernel"
+    assert calls["n"] > n_init, "bf16 train forward never reached the Pallas kernel"
     assert bool(jnp.isfinite(eps).all())
+
+    # fp32 must route to XLA einsum in both passes (kernel scratch > VMEM)
+    cfg32 = cfg.replace(use_bf16=False)
+    model32 = create_model(cfg32)
+    before = calls["n"]
+    v32 = model32.init({"params": jax.random.PRNGKey(0)}, x, t, train=False)
+    model32.apply(v32, x, t, train=True, rngs=rngs)
+    assert calls["n"] == before, "fp32 pass must not reach the Pallas kernel"
