@@ -1,0 +1,112 @@
+"""Re-score saved counterfactual samples with a FIXED set of probes.
+
+`counterfactual_test.py` trains fresh anti-causal classifiers per run; those
+probes agree to ~1e-5 val MSE on real images but can diverge by ~0.1 MAE on
+generated (off-distribution) counterfactuals, which swamps small effects like
+the pre/post intervention-convention comparison (VERDICT r2 item 5). This
+tool replays the eval's exact ground-truth stream (same RandomState draws,
+reference `image_causaldae_test.py:561-607`) against the `samples_do_*.npz`
+files saved by one or more eval runs, scoring every run with the SAME
+classifier pickles - so differences between runs are purely generation-side.
+
+Usage:
+  python scripts/rescore_counterfactuals.py --preset morphomnist_causaldae \
+      --classifier_dir /tmp/ve_where_auto --num_samples 64 --batch_size 16 \
+      --runs /tmp/ve_where_auto /tmp/ve_where_post [--cpu]
+
+Prints one JSON line per run: {run, mae_<var>...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", required=True)
+    ap.add_argument("--classifier_dir", required=True,
+                    help="dir holding classifier_<dataset>_<var>.pkl to use "
+                         "as the fixed instrument for every run")
+    ap.add_argument("--runs", nargs="+", required=True,
+                    help="eval out_dirs containing samples_do_<var>.npz")
+    ap.add_argument("--num_samples", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="score on CPU (leave a busy TPU alone)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import counterfactual_test as ct
+
+    from causaldiffae_tpu.config import DATA_SCALES, get_config
+    from causaldiffae_tpu.data import synthetic_dataset
+    from causaldiffae_tpu.evals import classifier_predict_fn, load_classifier
+
+    cfg = get_config(args.preset)
+    dataset = cfg.dataset
+    names = ct.VAR_NAMES[dataset]
+    scale = np.asarray(DATA_SCALES[dataset])
+    test_pool = synthetic_dataset(dataset, max(args.num_samples, 512),
+                                  seed=args.seed + 99)
+    n_batches = max(args.num_samples // args.batch_size, 1)
+
+    predictors = []
+    for f, name in enumerate(names):
+        path = os.path.join(args.classifier_dir,
+                            f"classifier_{dataset}_{name}.pkl")
+        m, v, _ = load_classifier(path, cfg.n_vars)
+        predictors.append(classifier_predict_fn(m, v))
+
+    # replay the eval's RandomState stream: one probe_sel randint (the
+    # recon/traversal probe batch) first, then per batch one randint draw
+    # (sel) + one uniform draw (raw intervention value), vars in order,
+    # skipping vars whose INTERVENTION_RANGES entry is None - exactly the
+    # consumption order of counterfactual_test.py's single rng_np
+    rng_np = np.random.RandomState(args.seed)
+    rng_np.randint(0, len(test_pool["image"]), args.batch_size)  # probe_sel
+    plan = []  # (var_idx, [(sel, gt_norm), ...])
+    for var_idx, name in enumerate(names):
+        rng_range = ct.INTERVENTION_RANGES[dataset][var_idx]
+        if rng_range is None:
+            continue
+        batches = []
+        for _ in range(n_batches):
+            sel = rng_np.randint(0, len(test_pool["image"]), args.batch_size)
+            raw_value = rng_np.uniform(*rng_range)
+            c_raw = test_pool["c"][sel] * scale[:, 1] + scale[:, 0]
+            gt = ct.ground_truth_factors(dataset, c_raw, var_idx, raw_value)
+            batches.append((sel, (gt - scale[:, 0]) / scale[:, 1]))
+        plan.append((var_idx, name, batches))
+
+    for run_dir in args.runs:
+        mae = {name: [] for name in names}
+        for var_idx, name, batches in plan:
+            path = os.path.join(run_dir, f"samples_do_{name}.npz")
+            samples = np.load(path)["samples"]
+            for b, (sel, gt_norm) in enumerate(batches):
+                chunk = samples[b * args.batch_size:(b + 1) * args.batch_size]
+                x = jnp.asarray(np.clip(chunk, 0, 1))
+                for f, pred in enumerate(predictors):
+                    out = np.asarray(pred(x))
+                    mae[names[f]].append(np.abs(out - gt_norm[:, f]).mean())
+        result = {"run": run_dir}
+        result.update({f"mae_{k}": float(np.mean(v)) for k, v in mae.items() if v})
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

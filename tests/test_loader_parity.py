@@ -85,8 +85,12 @@ def _install_stubs():
         bf.BlobFile = open
         sys.modules["blobfile"] = bf
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
+    # augment (never skip): test_diffusion_branches installs a bare
+    # torchvision stub for the reference's train_util; if that ran first in
+    # the same session, .transforms would be missing and the reference's
+    # `from torchvision import transforms` would fail
+    if getattr(sys.modules.get("torchvision"), "transforms", None) is None:
+        tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
 
         class Compose:
