@@ -103,6 +103,10 @@ def peak_bf16_tflops(device) -> tuple:
     PJRT builds publish peak-flops keys); falls back to the public datasheet
     table keyed on device_kind. Returns (peak_tflops_or_None, source).
     """
+    kind = device.device_kind.lower()
+    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+             "v6 lite": 918.0, "v6e": 918.0}
+    datasheet = next((v for k, v in peaks.items() if k in kind), None)
     for attrs_name in ("attributes", "client_attributes"):
         attrs = getattr(device, attrs_name, None)
         if isinstance(attrs, dict):
@@ -112,16 +116,23 @@ def peak_bf16_tflops(device) -> tuple:
                     v = float(v)
                     if v > 1e6:  # reported in FLOP/s
                         v /= 1e12
-                    return v, f"device.{attrs_name}[{key}]"
-    kind = device.device_kind.lower()
-    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-             "v6 lite": 918.0, "v6e": 918.0}
-    peak = next((v for k, v in peaks.items() if k in kind), None)
-    return peak, "datasheet_table"
+                    # trust the runtime only when it lands near the datasheet
+                    # (unit ambiguity / fp32-vs-bf16 keys otherwise corrupt
+                    # the MFU denominator silently)
+                    if datasheet is None or 0.5 <= v / datasheet <= 2.0:
+                        return v, f"device.{attrs_name}[{key}]"
+    return datasheet, "datasheet_table"
 
 
-def bench_train_only(preset: str) -> dict:
-    """Step-time/TFLOPS/MFU for one preset (no feed/sampler measurements)."""
+def bench_train_only(preset: str, pool: int = 0, return_handles: bool = False):
+    """Step-time/TFLOPS/MFU for one preset.
+
+    This is THE train-throughput measurement protocol (3-step warmup,
+    TRAIN_STEPS timed, donated state, 3x-forward MFU convention); main()
+    reuses it for the primary preset so the top-level and nested numbers
+    come from one implementation. With return_handles=True also returns the
+    live (cfg, model, state, it) for the feed/sampler sections.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -133,13 +144,15 @@ def bench_train_only(preset: str) -> dict:
     cfg = get_config(preset).replace(use_bf16=True)
     model = create_model(cfg)
     diffusion = create_diffusion(cfg)
-    it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=max(cfg.batch_size * 4, 128))
+    it = synthetic_iterator(cfg.dataset, cfg.batch_size,
+                            pool=pool or max(cfg.batch_size * 4, 128))
     batch = {k: jnp.asarray(v) for k, v in next(it).items()}
     tx = make_optimizer(cfg)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    # state is built on host CPU; pin to the chip so the step is pure-device
     state = jax.device_put(state, jax.devices()[0])
     step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx), donate_argnums=0)
-    for _ in range(3):
+    for _ in range(3):  # compile + warmup
         state, metrics = step_fn(state, batch)
     jax.block_until_ready(metrics["loss"])
     t0 = time.time()
@@ -149,14 +162,20 @@ def bench_train_only(preset: str) -> dict:
     dt = (time.time() - t0) / TRAIN_STEPS
     sps = cfg.batch_size / dt
     tflops = 3.0 * unet_flops_per_sample(cfg) * sps / 1e12
-    peak, _ = peak_bf16_tflops(jax.devices()[0])
-    return {
+    peak, peak_source = peak_bf16_tflops(jax.devices()[0])
+    result = {
         "train_step_time_s": round(dt, 5),
         "train_samples_per_sec": round(sps, 2),
         "tflops": round(tflops, 2),
         "mfu": round(tflops / peak, 4) if peak else None,
         "batch_size": cfg.batch_size,
     }
+    if not return_handles:
+        return result
+    handles = {"cfg": cfg, "model": model, "state": state, "it": it,
+               "step_fn": step_fn, "peak": peak, "peak_source": peak_source,
+               "tflops": tflops, "sps": sps, "dt": dt}
+    return result, handles
 
 
 def main():
@@ -177,33 +196,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from causaldiffae_tpu.config import create_diffusion, create_model, get_config
-    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.config import create_diffusion
     from causaldiffae_tpu.diffusion import ddim_sample_loop
     from causaldiffae_tpu.models.unet import CausalUNet
-    from causaldiffae_tpu.training import create_train_state, make_optimizer, make_train_step
 
-    cfg = get_config(presets[0]).replace(use_bf16=True)
-    model = create_model(cfg)
-    diffusion = create_diffusion(cfg)
-    it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=1024)
-    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-    tx = make_optimizer(cfg)
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
-    # state is built on host CPU; pin to the chip so the step is pure-device
-    state = jax.device_put(state, jax.devices()[0])
-    step_fn = jax.jit(make_train_step(cfg, model, diffusion, tx), donate_argnums=0)
-
-    # --- train throughput ---
-    for _ in range(3):  # compile + warmup
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.time()
-    for _ in range(TRAIN_STEPS):
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    train_dt = (time.time() - t0) / TRAIN_STEPS
-    train_sps = cfg.batch_size / train_dt
+    # --- train throughput (the shared protocol in bench_train_only) ---
+    _, h = bench_train_only(presets[0], pool=1024, return_handles=True)
+    cfg, model, state, it = h["cfg"], h["model"], h["state"], h["it"]
+    step_fn = h["step_fn"]
+    train_dt, train_sps = h["dt"], h["sps"]
 
     # --- train throughput INCLUDING the data feed (the TrainLoop pattern:
     # native C++ prefetch iterator + 1-batch-in-flight transfer overlap) ---
@@ -226,14 +227,20 @@ def main():
     batch_stats = state.batch_stats
 
     def bench_chain(sample_batch: int) -> float:
-        """Mean wall time of one 250-step DDIM chain at this batch size."""
-        y = jnp.zeros((sample_batch,), dtype=jnp.int32)
+        """Mean wall time of one 250-step DDIM chain at this batch size.
+
+        Conditioning and image shape are config-driven so any preset can be
+        the primary (profile_step.py uses the same construction).
+        """
+        y = (jnp.zeros((sample_batch,), dtype=jnp.int32)
+             if cfg.class_cond else None)
+        c = jnp.zeros((sample_batch, cfg.n_vars)) if cfg.context_cond else None
         z = jnp.zeros((sample_batch, cfg.rep_dim))
 
         def model_fn(x, t):
             return model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, t, y=y, z=z,
-                train=False, method=CausalUNet.denoise,
+                {"params": params, "batch_stats": batch_stats}, x, t,
+                y=y, c=c, z=z, train=False, method=CausalUNet.denoise,
             )
 
         @jax.jit
@@ -241,7 +248,8 @@ def main():
             return ddim_sample_loop(eval_diff, model_fn, noise, rng)
 
         noise = jax.random.normal(
-            jax.random.PRNGKey(1), (sample_batch, 28, 28, 1))
+            jax.random.PRNGKey(1),
+            (sample_batch, cfg.image_size, cfg.image_size, cfg.in_channels))
         out = sample(noise, jax.random.PRNGKey(2))
         jax.block_until_ready(out)
         t0 = time.time()
@@ -260,18 +268,22 @@ def main():
     serving_dt = bench_chain(cfg.batch_size)
     serving_images_per_sec = cfg.batch_size / serving_dt
 
-    base = get_baseline()
-    base_sps = base.get("torch_cpu_train_samples_per_sec")
-    vs_baseline = (train_sps / base_sps) if base_sps else None
+    # the cached torch-CPU baseline is the MORPHOMNIST config; comparing any
+    # other preset against it would be a silently meaningless ratio
+    if presets[0] == "morphomnist_causaldae":
+        base = get_baseline()
+        base_sps = base.get("torch_cpu_train_samples_per_sec")
+        vs_baseline = (train_sps / base_sps) if base_sps else None
+        baseline_note = "pytorch reference, same config, host CPU"
+    else:
+        vs_baseline = None
+        baseline_note = "n/a (torch-CPU baseline exists for morphomnist only)"
 
     # absolute efficiency: achieved TFLOPS + MFU (VERDICT r1 item 7).
     # Model FLOPs per trained sample = 3x the UNet forward (fwd + ~2x bwd),
     # the standard MFU convention - remat recompute is NOT counted as useful.
-    from causaldiffae_tpu.utils.profiling import unet_flops_per_sample
-
-    flops_per_sample = 3.0 * unet_flops_per_sample(cfg)
-    achieved_tflops = flops_per_sample * train_sps / 1e12
-    peak, peak_source = peak_bf16_tflops(jax.devices()[0])
+    achieved_tflops = h["tflops"]
+    peak, peak_source = h["peak"], h["peak_source"]
     mfu = achieved_tflops / peak if peak else None
 
     result = {
@@ -279,7 +291,7 @@ def main():
         "value": round(train_sps, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "baseline": "pytorch reference, same config, host CPU",
+        "baseline": baseline_note,
         "train_step_time_s": round(train_dt, 5),
         "train_samples_per_sec_with_feed": round(feed_sps, 2),
         "feed_overhead_pct": round(100.0 * (train_sps - feed_sps) / train_sps, 2),

@@ -86,13 +86,24 @@ class ClassifierTrainer:
         self._train_step = train_step
         self._eval_step = eval_step
 
+    # above this many pool bytes the fused scan (whole train+val pools
+    # resident in HBM next to the diffusion model) risks RESOURCE_EXHAUSTED;
+    # fall back to streaming per-batch transfers like the reference's loop
+    FUSED_POOL_BYTE_LIMIT = 2 << 30
+
     def fit(self, train_data: Dict[str, np.ndarray], val_data: Dict[str, np.ndarray],
             epochs: int = 100, batch_size: int = 128, log_every: int = 10):
         """Reference `classifiers.py:46-141`: epochs of MSE + best-val save.
 
         Runs as one jitted scan-of-scans; metrics come back to the host in a
-        single transfer after the last epoch.
+        single transfer after the last epoch. Pools too large for device
+        residency stream one batch at a time instead (same math, host loop).
         """
+        pool_bytes = sum(np.asarray(d["image"]).nbytes
+                         for d in (train_data, val_data))
+        if pool_bytes > self.FUSED_POOL_BYTE_LIMIT:
+            return self._fit_streaming(train_data, val_data, epochs,
+                                       batch_size, log_every)
         n = len(train_data["image"])
         # drop-last batching, same coverage as the reference's
         # range(0, n - batch_size + 1, batch_size) stride
@@ -157,6 +168,40 @@ class ClassifierTrainer:
                 f"train {tr_hist[epoch]:.5f} val {val_hist[epoch]:.5f} "
                 f"best {np.min(val_hist[:epoch + 1]):.5f}"
             )
+        return self.best_variables
+
+    def _fit_streaming(self, train_data, val_data, epochs: int,
+                       batch_size: int, log_every: int):
+        """Host epoch loop with per-batch device transfers (the reference's
+        `classifiers.py:46-141` shape) for pools too big to live in HBM."""
+        n = len(train_data["image"])
+        batch_size = min(batch_size, n)
+        self.init(jnp.asarray(train_data["image"][:2]))
+        rng = np.random.RandomState(self.seed)
+        factor = self.factor
+        for epoch in range(epochs):
+            perm = rng.permutation(n)
+            losses = []
+            for i in range(0, n - batch_size + 1, batch_size):
+                sel = perm[i:i + batch_size]
+                self.params, self.batch_stats, self.opt_state, loss = (
+                    self._train_step(
+                        self.params, self.batch_stats, self.opt_state,
+                        jnp.asarray(train_data["image"][sel]),
+                        jnp.asarray(train_data["c"][sel]),
+                    ))
+                losses.append(loss)
+            val = self.validate(val_data, batch_size)
+            if val < self.best_val:
+                self.best_val = val
+                self.best_variables = jax.device_get(
+                    {"params": self.params, "batch_stats": self.batch_stats})
+            if epoch % log_every == 0:
+                logger.log(
+                    f"clf[{self.dataset}:{self.factor}] epoch {epoch} "
+                    f"train {float(np.mean([float(l) for l in losses])):.5f} "
+                    f"val {val:.5f} best {self.best_val:.5f}"
+                )
         return self.best_variables
 
     def validate(self, val_data, batch_size=128) -> float:

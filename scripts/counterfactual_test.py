@@ -380,7 +380,12 @@ def main():
         if fid is not None:
             fid.update(np.clip(allg, 0, 1), real=False)
         if is_primary_host():
-            np.savez(os.path.join(args.out_dir, f"samples_do_{name}.npz"), samples=allg)
+            # stamp the generation plan so rescore_counterfactuals.py can
+            # verify its RandomState replay matches these samples
+            np.savez(os.path.join(args.out_dir, f"samples_do_{name}.npz"),
+                     samples=allg, seed=args.seed, batch_size=args.batch_size,
+                     num_samples=num_samples,
+                     process_count=jax.process_count())
             save_grid(allg[:64], os.path.join(args.out_dir, f"grid_do_{name}.png"))
         logger.log(f"do({name}): saved {len(allg)} samples")
 

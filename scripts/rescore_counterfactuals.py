@@ -96,7 +96,25 @@ def main():
         mae = {name: [] for name in names}
         for var_idx, name, batches in plan:
             path = os.path.join(run_dir, f"samples_do_{name}.npz")
-            samples = np.load(path)["samples"]
+            archive = np.load(path)
+            samples = archive["samples"]
+            # refuse to silently mis-score: the replayed RandomState stream
+            # is only valid if the run used the same plan parameters
+            for key, want in (("seed", args.seed),
+                              ("batch_size", args.batch_size),
+                              ("process_count", 1)):
+                if key in archive and int(archive[key]) != want:
+                    raise SystemExit(
+                        f"{path}: run was generated with {key}="
+                        f"{int(archive[key])} but the replay assumes {want}; "
+                        f"pass matching flags (multi-host runs can't be "
+                        f"replayed from the process-0 stream)")
+            want_rows = n_batches * args.batch_size
+            if len(samples) != want_rows:
+                raise SystemExit(
+                    f"{path}: {len(samples)} samples but the replay plan has "
+                    f"{want_rows} ({n_batches}x{args.batch_size}); pass the "
+                    f"run's --num_samples/--batch_size")
             for b, (sel, gt_norm) in enumerate(batches):
                 chunk = samples[b * args.batch_size:(b + 1) * args.batch_size]
                 x = jnp.asarray(np.clip(chunk, 0, 1))

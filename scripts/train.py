@@ -38,8 +38,17 @@ def main():
         ("kl_anneal_steps", int),
     ]:
         parser.add_argument(f"--{flag}", type=typ, default=None)
-    parser.add_argument("--use_bf16", type=lambda s: s.lower() in "1 true yes t y".split(),
-                        default=None)
+    # boolean overrides (same names as the reference flags; `str2bool` style,
+    # reference `script_util.py:343-354`) — these select the non-default model
+    # branches: flow-based SCM prior (`unet.py:385-386`), learned sigma,
+    # learnable adjacency (`nn.py:255-259`), KL loss, x0 prediction, remat.
+    def str2bool(s):
+        return s.lower() in ("1", "true", "yes", "t", "y")
+
+    for flag in ("use_bf16", "flow_based", "learn_sigma", "learn_adjacency",
+                 "use_kl", "predict_xstart", "use_remat", "masking",
+                 "causal_modeling", "use_pallas"):
+        parser.add_argument(f"--{flag}", type=str2bool, default=None)
     args = parser.parse_args()
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):

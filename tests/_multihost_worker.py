@@ -124,9 +124,11 @@ def run_trainloop(cfg, outdir, process_id, data_dir):
     loop = TrainLoop(cfg, model, diffusion, checked(data), ckpt_dir=None)
     state = loop.run_loop(num_steps=3)
     # global batch semantics: each jitted step consumed cfg.batch_size rows
-    # globally; this host fed B/P rows each for the init batch, the 3 steps,
-    # and the one prefetched batch left in flight - nothing more
-    assert consumed["rows"] == 5 * local_expect, consumed["rows"]
+    # globally, and this host only ever materializes B/P-row batches (the
+    # per-batch shape assert above). Bound the total loosely instead of
+    # pinning TrainLoop's internal prefetch depth: >= init + 3 steps, and
+    # <= that plus a small in-flight allowance
+    assert 4 * local_expect <= consumed["rows"] <= 7 * local_expect, consumed["rows"]
     _fingerprint(state.params, [float(state.step)], outdir, process_id)
 
 

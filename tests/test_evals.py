@@ -152,6 +152,21 @@ def test_classifier_learns_intensity():
     assert tr.best_val < 0.4 * var
 
 
+def test_classifier_streaming_path_matches(monkeypatch):
+    """Pools above FUSED_POOL_BYTE_LIMIT take the host-loop path; it must
+    train to comparable quality (same math, per-batch transfers)."""
+    data = synthetic_dataset("morphomnist", 512, seed=3)
+    cut = 448
+    monkeypatch.setattr(ClassifierTrainer, "FUSED_POOL_BYTE_LIMIT", 0)
+    tr = ClassifierTrainer("morphomnist", factor=1, n_vars=2)
+    best = tr.fit({k: v[:cut] for k, v in data.items()},
+                  {k: v[cut:] for k, v in data.items()},
+                  epochs=10, batch_size=64)
+    assert best is not None
+    var = float(np.var(data["c"][cut:, 1]))
+    assert tr.best_val < 0.4 * var
+
+
 # ---------------- counterfactual pipeline ---------------- #
 @pytest.fixture(scope="module")
 def cf_setup():

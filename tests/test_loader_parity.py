@@ -90,6 +90,21 @@ def _install_stubs():
     # the same session, .transforms would be missing and the reference's
     # `from torchvision import transforms` would fail
     if getattr(sys.modules.get("torchvision"), "transforms", None) is None:
+        # prefer the REAL torchvision when the environment has one (its
+        # Resize is then an independent implementation, making the circuit
+        # resize parity check non-self-referential); only stub when absent
+        # or already shadowed by another test's stub
+        import importlib.util
+
+        if ("torchvision" not in sys.modules
+                and importlib.util.find_spec("torchvision") is not None):
+            import torchvision  # noqa: F401  (registers the real package)
+            return
+        # NOTE: this stub's Resize reimplements the same int-truncation
+        # aspect formula as data/loaders.load_circuit, so with the stub the
+        # circuit test proves ref-class-vs-loader equality only modulo that
+        # shared reading of PIL semantics; environments with torchvision
+        # installed exercise the real transform via the branch above
         tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
 
