@@ -130,6 +130,10 @@ class Config:
     skip_nonfinite: bool = True   # drop steps with non-finite grads (the bf16
                                   # analogue of fp16_util's NaN skip, train_util.py:276-280)
     seed: int = 0
+    # tensor-parallel degree: folds a 'model' axis into the device mesh and
+    # shards each ResBlock conv pair Megatron-style (parallel/partition.py);
+    # 1 = pure data parallelism (the reference's only mode)
+    model_parallel: int = 1
 
     # --- eval (test_*.sh + image_causaldae_test.py) ---
     eval_timestep_respacing: str = "250"

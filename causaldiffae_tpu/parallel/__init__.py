@@ -1,4 +1,4 @@
-"""Device mesh + sharding (data parallelism over ICI)."""
+"""Device mesh + sharding (data + tensor parallelism over ICI)."""
 
 from .collectives import (
     gather_across_hosts,
@@ -8,3 +8,5 @@ from .collectives import (
 )
 from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, host_local_batch_size,
                    make_mesh, replicated, shard_batch, shard_host_local)
+from .partition import (count_sharded, partition_state, state_partition_specs,
+                        unet_param_specs)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import make_mesh, replicated, shard_batch, shard_host_local
+from ..parallel.partition import partition_state
 from ..utils import logger
 from .checkpoint import CheckpointManager
 from .state import create_train_state, make_optimizer
@@ -46,12 +47,16 @@ class TrainLoop:
         self.diffusion = diffusion
         self.data = data
         self.tx = make_optimizer(cfg)
-        self.mesh = make_mesh() if use_mesh else None
+        mp = getattr(cfg, "model_parallel", 1)
+        self.mesh = make_mesh(model_parallel=mp) if use_mesh else None
 
         first = {k: jnp.asarray(v) for k, v in next(data).items()}
         self.state = create_train_state(cfg, model, self.tx, jax.random.PRNGKey(cfg.seed), first)
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            # mp > 1: Megatron-sharded conv pairs + matching opt/EMA layout
+            # (parallel/partition.py); mp == 1: params replicated, classic DP
+            self.state = (partition_state(self.state, self.mesh) if mp > 1
+                          else jax.device_put(self.state, replicated(self.mesh)))
 
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
         self.resume_step = 0

@@ -35,7 +35,7 @@ def main():
         ("total_steps", int), ("lr_anneal_steps", int), ("log_interval", int),
         ("save_interval", int), ("diffusion_steps", int), ("seed", int),
         ("ema_rate", str), ("schedule_sampler", str), ("weight_decay", float),
-        ("kl_anneal_steps", int),
+        ("kl_anneal_steps", int), ("model_parallel", int),
     ]:
         parser.add_argument(f"--{flag}", type=typ, default=None)
     # boolean overrides (same names as the reference flags; `str2bool` style,
