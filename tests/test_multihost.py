@@ -52,7 +52,10 @@ def _run_workers(tmp_path, mode: str, data_dir: str = ""):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # generous: the two workers each jit-compile the full train
+            # step; under a loaded host (full suite + another heavy job)
+            # compile alone has been observed to blow a 600s budget
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
     finally:
         for p in procs:
