@@ -309,6 +309,12 @@ def main():
         "device": str(jax.devices()[0]),
         "batch_size": cfg.batch_size,
     }
+    # free the primary preset's device residency (TrainState incl. Adam/EMA,
+    # the compiled step, chain params) BEFORE the nested family benches
+    # allocate their own TrainStates - otherwise a memory-tight chip can
+    # turn a real measurement into a silent {"error": RESOURCE_EXHAUSTED}
+    del h, state, step_fn, params, batch_stats, bench_chain, metrics, next_batch, b
+
     # the other workload families: step time / TFLOPS / MFU as nested keys
     # (morphomnist top-level keys stay stable for the driver)
     for preset in presets[1:]:

@@ -23,6 +23,7 @@ Factor column conventions (reference target selections):
 from __future__ import annotations
 
 import pickle
+from functools import lru_cache
 from pathlib import Path
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -37,6 +38,62 @@ from ..utils import logger
 __all__ = ["ClassifierTrainer", "load_classifier", "classifier_predict_fn"]
 
 
+@lru_cache(maxsize=8)
+def _fused_fit_program(model, lr: float, seed: int, n: int, nb: int,
+                       batch_size: int, epochs: int):
+    """The jitted whole-fit scan, cached across trainer instances.
+
+    An eval trains one probe per causal factor with IDENTICAL shapes and
+    hyperparameters (the factor is applied by slicing ``c`` before the
+    call), so without this cache every factor re-traces and re-compiles
+    the same program — ~2 min of duplicated cold XLA compile per factor
+    through a remote-TPU tunnel. The key is all hashable config (the flax
+    module compares by its dataclass fields); the optimizer is rebuilt
+    from ``lr`` inside so optax's closure identity never misses the cache.
+    """
+    tx = optax.adam(lr)
+
+    def run(params, batch_stats, opt_state, x, c, xv, cv):
+        def val_mse(p, bs):
+            out = model.apply({"params": p, "batch_stats": bs}, xv, train=False)
+            return jnp.mean((out - cv) ** 2)
+
+        def train_batch(carry, sel):
+            p, bs, opt = carry
+
+            def loss_fn(pp):
+                out, mut = model.apply(
+                    {"params": pp, "batch_stats": bs}, x[sel], train=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean((out - c[sel]) ** 2), mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), new_bs, opt), loss
+
+        def epoch_step(carry, epoch):
+            p, bs, opt, best_val, best_p, best_bs = carry
+            perm = jax.random.permutation(
+                jax.random.fold_in(jax.random.PRNGKey(seed), epoch), n)
+            sels = perm[: nb * batch_size].reshape(nb, batch_size)
+            (p, bs, opt), losses = jax.lax.scan(train_batch, (p, bs, opt), sels)
+            val = val_mse(p, bs)
+            better = val < best_val
+            best_val = jnp.where(better, val, best_val)
+            sel_tree = lambda a, b: jnp.where(better, a, b)
+            best_p = jax.tree_util.tree_map(sel_tree, p, best_p)
+            best_bs = jax.tree_util.tree_map(sel_tree, bs, best_bs)
+            return (p, bs, opt, best_val, best_p, best_bs), (jnp.mean(losses), val)
+
+        carry = (params, batch_stats, opt_state,
+                 jnp.asarray(jnp.inf, jnp.float32), params, batch_stats)
+        carry, hist = jax.lax.scan(epoch_step, carry, jnp.arange(epochs))
+        return carry, hist
+
+    return jax.jit(run)
+
+
 class ClassifierTrainer:
     def __init__(self, dataset: str, factor: int, n_vars: int,
                  lr: float = 1e-3, seed: int = 0,
@@ -44,6 +101,7 @@ class ClassifierTrainer:
         self.dataset = dataset
         self.factor = factor
         self.model = GaussianConvEncoderClf(num_vars=n_vars, hidden_dims=hidden_dims)
+        self.lr = lr
         self.tx = optax.adam(lr)
         self.seed = seed
         self.best_val = np.inf
@@ -110,47 +168,10 @@ class ClassifierTrainer:
         nb = max(1, (n - batch_size) // batch_size + 1)
         batch_size = min(batch_size, n)
         self.init(jnp.asarray(train_data["image"][:2]))
-        model, tx, factor, seed = self.model, self.tx, self.factor, self.seed
-
-        def run(params, batch_stats, opt_state, x, c, xv, cv):
-            def val_mse(p, bs):
-                out = model.apply({"params": p, "batch_stats": bs}, xv, train=False)
-                return jnp.mean((out - cv) ** 2)
-
-            def train_batch(carry, sel):
-                p, bs, opt = carry
-
-                def loss_fn(pp):
-                    out, mut = model.apply(
-                        {"params": pp, "batch_stats": bs}, x[sel], train=True,
-                        mutable=["batch_stats"],
-                    )
-                    return jnp.mean((out - c[sel]) ** 2), mut["batch_stats"]
-
-                (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-                updates, opt = tx.update(grads, opt, p)
-                return (optax.apply_updates(p, updates), new_bs, opt), loss
-
-            def epoch_step(carry, epoch):
-                p, bs, opt, best_val, best_p, best_bs = carry
-                perm = jax.random.permutation(
-                    jax.random.fold_in(jax.random.PRNGKey(seed), epoch), n)
-                sels = perm[: nb * batch_size].reshape(nb, batch_size)
-                (p, bs, opt), losses = jax.lax.scan(train_batch, (p, bs, opt), sels)
-                val = val_mse(p, bs)
-                better = val < best_val
-                best_val = jnp.where(better, val, best_val)
-                sel_tree = lambda a, b: jnp.where(better, a, b)
-                best_p = jax.tree_util.tree_map(sel_tree, p, best_p)
-                best_bs = jax.tree_util.tree_map(sel_tree, bs, best_bs)
-                return (p, bs, opt, best_val, best_p, best_bs), (jnp.mean(losses), val)
-
-            carry = (params, batch_stats, opt_state,
-                     jnp.asarray(jnp.inf, jnp.float32), params, batch_stats)
-            carry, hist = jax.lax.scan(epoch_step, carry, jnp.arange(epochs))
-            return carry, hist
-
-        carry, (tr_hist, val_hist) = jax.jit(run)(
+        run = _fused_fit_program(
+            self.model, self.lr, self.seed, n, nb, batch_size, epochs)
+        factor = self.factor
+        carry, (tr_hist, val_hist) = run(
             self.params, self.batch_stats, self.opt_state,
             jnp.asarray(train_data["image"]),
             jnp.asarray(train_data["c"][:, factor:factor + 1]),

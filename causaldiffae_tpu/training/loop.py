@@ -48,6 +48,14 @@ class TrainLoop:
         self.data = data
         self.tx = make_optimizer(cfg)
         mp = getattr(cfg, "model_parallel", 1)
+        if mp > 1 and jax.process_count() > 1:
+            # cross-process TP would shard params over non-addressable
+            # devices: save()'s device_get and the per-leaf device_put in
+            # partition_state both reject that. Fail loud at startup, not
+            # at the first save_interval mid-run.
+            raise NotImplementedError(
+                "model_parallel > 1 is single-process only for now; "
+                "multi-host runs use data parallelism (model_parallel=1)")
         self.mesh = make_mesh(model_parallel=mp) if use_mesh else None
 
         first = {k: jnp.asarray(v) for k, v in next(data).items()}

@@ -385,7 +385,8 @@ def main():
             np.savez(os.path.join(args.out_dir, f"samples_do_{name}.npz"),
                      samples=allg, seed=args.seed, batch_size=args.batch_size,
                      num_samples=num_samples,
-                     process_count=jax.process_count())
+                     process_count=jax.process_count(),
+                     synthetic_pool=int(args.synthetic or not args.data_dir))
             save_grid(allg[:64], os.path.join(args.out_dir, f"grid_do_{name}.png"))
         logger.log(f"do({name}): saved {len(allg)} samples")
 

@@ -102,13 +102,25 @@ def main():
             # is only valid if the run used the same plan parameters
             for key, want in (("seed", args.seed),
                               ("batch_size", args.batch_size),
-                              ("process_count", 1)):
+                              ("process_count", 1),
+                              # num_samples feeds BOTH the pool size
+                              # (max(num_samples, 512) rows seeded seed+99)
+                              # and n_batches; a mismatch shifts every
+                              # randint bound after the first - silent
+                              # wrong ground truth, not an index error
+                              ("num_samples", args.num_samples),
+                              # the replay always rebuilds a SYNTHETIC
+                              # pool; samples generated from a real
+                              # --data_dir test split would be scored
+                              # against unrelated ground truth
+                              ("synthetic_pool", 1)):
                 if key in archive and int(archive[key]) != want:
                     raise SystemExit(
                         f"{path}: run was generated with {key}="
                         f"{int(archive[key])} but the replay assumes {want}; "
-                        f"pass matching flags (multi-host runs can't be "
-                        f"replayed from the process-0 stream)")
+                        f"pass matching flags (multi-host or real-data runs "
+                        f"can't be replayed from the synthetic process-0 "
+                        f"stream)")
             want_rows = n_batches * args.batch_size
             if len(samples) != want_rows:
                 raise SystemExit(
