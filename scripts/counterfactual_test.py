@@ -191,7 +191,7 @@ def main():
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
     # state is built/restored on host; run eval on the accelerator
-    variables = jax.device_put(variables, jax.devices()[0])
+    variables = jax.device_put(variables, jax.local_devices()[0])
 
     scale = np.asarray(DATA_SCALES[dataset])
 
@@ -402,6 +402,7 @@ def main():
         logger.log(f"FID (counterfactuals vs real): {result['fid']:.3f}")
     logger.log(f"effectiveness MAE: {result}")
     print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

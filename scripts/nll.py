@@ -69,7 +69,7 @@ def main():
     if args.ckpt_dir:
         state = CheckpointManager(args.ckpt_dir).restore(state)
     variables = jax.device_put(
-        {"params": state.params, "batch_stats": state.batch_stats}, jax.devices()[0]
+        {"params": state.params, "batch_stats": state.batch_stats}, jax.local_devices()[0]
     )
 
     @jax.jit

@@ -53,7 +53,7 @@ def main():
         logger.log(f"restored step {int(state.step)}")
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
     variables = jax.device_put(
-        {"params": params, "batch_stats": state.batch_stats}, jax.devices()[0]
+        {"params": params, "batch_stats": state.batch_stats}, jax.local_devices()[0]
     )
 
     fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim),

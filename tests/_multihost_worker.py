@@ -132,6 +132,55 @@ def run_trainloop(cfg, outdir, process_id, data_dir):
     _fingerprint(state.params, [float(state.step)], outdir, process_id)
 
 
+def run_cfeval(cfg, outdir, process_id):
+    """The SHIPPED eval CLI end to end across 2 processes: train a few
+    steps + checkpoint (collective orbax save), then drive
+    ``scripts/counterfactual_test.main()`` — primary-host-trains-probes +
+    barrier-then-read protocol, per-host generation splits, cross-host MAE
+    gathers. The parent asserts both processes report the SAME MAE dict
+    and that only the primary host wrote the artifact files."""
+    import json
+    import numpy as np
+    from pathlib import Path
+
+    import causaldiffae_tpu.config as config_mod
+    from causaldiffae_tpu.config import create_diffusion, create_model
+    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.parallel import host_local_batch_size
+    from causaldiffae_tpu.training.loop import TrainLoop
+
+    eval_cfg = cfg.replace(
+        name="mh_eval", eval_timestep_respacing="10", abduction_t=9,
+        num_samples=8, total_steps=2, save_interval=2, log_interval=1,
+    )
+    # register so the CLI's --preset lookup resolves the tiny config
+    config_mod.PRESETS["mh_eval"] = eval_cfg
+
+    ckdir = str(Path(outdir) / "ckpt")
+    evdir = str(Path(outdir) / "eval")
+    model = create_model(eval_cfg)
+    diffusion = create_diffusion(eval_cfg)
+    local = host_local_batch_size(eval_cfg.batch_size)
+    data = synthetic_iterator(eval_cfg.dataset, local, pool=local * 4,
+                              seed=100 + process_id)
+    loop = TrainLoop(eval_cfg, model, diffusion, data, ckpt_dir=ckdir)
+    loop.run_loop(num_steps=2)
+
+    sys.argv = [
+        "counterfactual_test.py", "--preset", "mh_eval",
+        "--ckpt_dir", ckdir, "--synthetic",
+        "--num_samples", "8", "--batch_size", "4",
+        "--out_dir", evdir, "--clf_epochs", "2", "--no_recon",
+    ]
+    import counterfactual_test as ct_cli  # scripts/ dir on sys.path
+
+    result = ct_cli.main()
+    assert result and all(np.isfinite(v) for v in result.values()), result
+    wrote = sorted(p.name for p in Path(evdir).glob("*")) if Path(evdir).exists() else []
+    with open(Path(outdir) / f"cfeval_{process_id}.json", "w") as f:
+        json.dump({"result": result, "wrote": wrote}, f)
+
+
 def main(process_id: int, num_processes: int, port: int, outdir: str,
          mode: str, data_dir: str) -> None:
     jax.distributed.initialize(
@@ -151,6 +200,9 @@ def main(process_id: int, num_processes: int, port: int, outdir: str,
         run_rawstep(cfg, outdir, process_id)
     elif mode == "trainloop":
         run_trainloop(cfg, outdir, process_id, data_dir)
+    elif mode == "cfeval":
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        run_cfeval(cfg, outdir, process_id)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(f"worker {process_id}: OK mode={mode}")

@@ -34,7 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, mode: str, data_dir: str = ""):
+def _run_workers(tmp_path, mode: str, data_dir: str = "", fingerprints: bool = True):
     port = _free_port()
     env = dict(os.environ)
     # children force their own platform/device-count; scrub inherited flags
@@ -64,6 +64,8 @@ def _run_workers(tmp_path, mode: str, data_dir: str = ""):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"worker {i}: OK" in out
+    if not fingerprints:
+        return
 
     fp0 = np.load(tmp_path / "fingerprint_0.npz")
     fp1 = np.load(tmp_path / "fingerprint_1.npz")
@@ -99,3 +101,27 @@ def test_two_process_trainloop_with_load_data(tmp_path):
     (d / "train-morpho.csv").write_text("\n".join(rows))
 
     _run_workers(tmp_path, "trainloop", str(d))
+
+
+def test_two_process_counterfactual_eval(tmp_path):
+    """The SHIPPED eval CLI across 2 processes: collective orbax
+    checkpoint, primary-trains-probes + barrier-then-read classifier
+    protocol, per-host generation, cross-host MAE gather. Both processes
+    must report the SAME MAE dict; only the primary writes artifacts."""
+    import json
+
+    _run_workers(tmp_path, "cfeval", fingerprints=False)
+    with open(tmp_path / "cfeval_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "cfeval_1.json") as f:
+        r1 = json.load(f)
+    assert r0["result"], r0
+    assert set(r0["result"]) == {
+        "mae_thickness", "mae_intensity",
+        "clf_val_mse_thickness", "clf_val_mse_intensity"}
+    for k, v in r0["result"].items():
+        assert abs(v - r1["result"][k]) < 1e-12, (k, v, r1["result"][k])
+    # the artifact files exist exactly once (primary host wrote them; the
+    # non-primary saw the same shared dir, so both listings match)
+    assert "samples_do_thickness.npz" in r0["wrote"], r0["wrote"]
+    assert "classifier_morphomnist_thickness.pkl" in r0["wrote"]
