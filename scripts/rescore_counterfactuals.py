@@ -27,6 +27,37 @@ import sys
 import numpy as np
 
 
+def check_replay_stamps(archive, path: str, *, seed: int, batch_size: int,
+                        num_samples: int, n_rows_expected: int):
+    """Refuse to silently mis-score: the replayed RandomState stream is only
+    valid if the run was generated with the same plan parameters.
+
+    Checks the stamps counterfactual_test.py writes into samples_do_*.npz
+    (older archives without a stamp pass that check, honestly unverifiable):
+    seed/batch_size drive every draw; num_samples feeds BOTH the pool size
+    (max(num_samples, 512) rows seeded seed+99) and n_batches, so a mismatch
+    shifts every randint bound after the first - silent wrong ground truth,
+    not an index error; multi-host (process_count > 1) interleaves streams
+    the single-process replay can't reproduce; and the replay always
+    rebuilds a SYNTHETIC pool, so real --data_dir runs would be scored
+    against unrelated ground truth.
+    """
+    for key, want in (("seed", seed), ("batch_size", batch_size),
+                      ("process_count", 1), ("num_samples", num_samples),
+                      ("synthetic_pool", 1)):
+        if key in archive and int(archive[key]) != want:
+            raise SystemExit(
+                f"{path}: run was generated with {key}={int(archive[key])} "
+                f"but the replay assumes {want}; pass matching flags "
+                f"(multi-host or real-data runs can't be replayed from the "
+                f"synthetic process-0 stream)")
+    n = len(archive["samples"])
+    if n != n_rows_expected:
+        raise SystemExit(
+            f"{path}: {n} samples but the replay plan has {n_rows_expected} "
+            f"rows; pass the run's --num_samples/--batch_size")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True)
@@ -98,35 +129,10 @@ def main():
             path = os.path.join(run_dir, f"samples_do_{name}.npz")
             archive = np.load(path)
             samples = archive["samples"]
-            # refuse to silently mis-score: the replayed RandomState stream
-            # is only valid if the run used the same plan parameters
-            for key, want in (("seed", args.seed),
-                              ("batch_size", args.batch_size),
-                              ("process_count", 1),
-                              # num_samples feeds BOTH the pool size
-                              # (max(num_samples, 512) rows seeded seed+99)
-                              # and n_batches; a mismatch shifts every
-                              # randint bound after the first - silent
-                              # wrong ground truth, not an index error
-                              ("num_samples", args.num_samples),
-                              # the replay always rebuilds a SYNTHETIC
-                              # pool; samples generated from a real
-                              # --data_dir test split would be scored
-                              # against unrelated ground truth
-                              ("synthetic_pool", 1)):
-                if key in archive and int(archive[key]) != want:
-                    raise SystemExit(
-                        f"{path}: run was generated with {key}="
-                        f"{int(archive[key])} but the replay assumes {want}; "
-                        f"pass matching flags (multi-host or real-data runs "
-                        f"can't be replayed from the synthetic process-0 "
-                        f"stream)")
-            want_rows = n_batches * args.batch_size
-            if len(samples) != want_rows:
-                raise SystemExit(
-                    f"{path}: {len(samples)} samples but the replay plan has "
-                    f"{want_rows} ({n_batches}x{args.batch_size}); pass the "
-                    f"run's --num_samples/--batch_size")
+            check_replay_stamps(
+                archive, path, seed=args.seed, batch_size=args.batch_size,
+                num_samples=args.num_samples,
+                n_rows_expected=n_batches * args.batch_size)
             for b, (sel, gt_norm) in enumerate(batches):
                 chunk = samples[b * args.batch_size:(b + 1) * args.batch_size]
                 x = jnp.asarray(np.clip(chunk, 0, 1))

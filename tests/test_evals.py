@@ -383,3 +383,33 @@ def test_guided_ddim_roundtrip_identity():
     back_over = ddim_sample_loop(diff, mf, x_over, key, clip_denoised=False,
                                  w=w, uncond_fn=uf)
     assert float(jnp.abs(back_over - x).max()) > 5 * matched
+
+
+def test_rescore_replay_stamp_guard(tmp_path):
+    """scripts/rescore_counterfactuals refuses archives whose stamped
+    generation plan doesn't match the replayed RandomState stream."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from rescore_counterfactuals import check_replay_stamps
+
+    def archive(**stamps):
+        p = tmp_path / "a.npz"
+        np.savez(p, samples=np.zeros((64, 28, 28, 1)), **stamps)
+        return np.load(p)
+
+    ok = dict(seed=0, batch_size=16, num_samples=64,
+              process_count=1, synthetic_pool=1)
+    kw = dict(seed=0, batch_size=16, num_samples=64, n_rows_expected=64)
+    check_replay_stamps(archive(**ok), "a.npz", **kw)
+    # legacy archives without stamps pass (honestly unverifiable)
+    check_replay_stamps(archive(), "a.npz", **kw)
+    for bad in (dict(ok, seed=1), dict(ok, batch_size=32),
+                dict(ok, num_samples=48), dict(ok, process_count=2),
+                dict(ok, synthetic_pool=0)):
+        with pytest.raises(SystemExit):
+            check_replay_stamps(archive(**bad), "a.npz", **kw)
+    with pytest.raises(SystemExit):  # row-count mismatch
+        check_replay_stamps(archive(**ok), "a.npz",
+                            **{**kw, "n_rows_expected": 48})
