@@ -159,8 +159,10 @@ def test_trainloop_with_model_parallel(tmp_path):
     checkpoint save + resume restore through the sharded template."""
     from causaldiffae_tpu.training.loop import TrainLoop
 
+    # use_remat composes jax.checkpoint with the SPMD-partitioned params -
+    # the rematerialized forward must respect the same shardings
     cfg = tiny_cfg(model_parallel=2, batch_size=8, total_steps=2,
-                   save_interval=2, log_interval=1)
+                   save_interval=2, log_interval=1, use_remat=True)
     model = create_model(cfg)
     diffusion = create_diffusion(cfg)
     it = synthetic_iterator(cfg.dataset, cfg.batch_size, pool=16)
