@@ -123,3 +123,23 @@ def test_unet_routes_pallas_attention_in_bf16_train(monkeypatch):
     v32 = model32.init({"params": jax.random.PRNGKey(0)}, x, t, train=False)
     model32.apply(v32, x, t, train=True, rngs=rngs)
     assert calls["n"] == before, "fp32 pass must not reach the Pallas kernel"
+
+
+def test_fused_attention_chunked_path_matches(monkeypatch):
+    """Force the VMEM-pressure query-chunked path (engaged on fp32 T=784 on
+    real hardware) and assert forward + grad numerics match unchunked."""
+    import causaldiffae_tpu.ops.attention_pallas as ap
+
+    B, T, H, d = 1, 64, 2, 16
+    C = H * d
+    qkv = jax.random.normal(jax.random.PRNGKey(2), (B, T, 3 * C))
+    ref = qkv_attention(qkv, H)
+    g_ref = jax.grad(lambda q: jnp.sum(qkv_attention(q, H) ** 2))(qkv)
+
+    monkeypatch.setattr(ap, "_q_chunk", lambda T, itemsize, backward: 16)
+    got = fused_qkv_attention(qkv, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    g = jax.grad(lambda q: jnp.sum(fused_qkv_attention(q, H) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-3)
