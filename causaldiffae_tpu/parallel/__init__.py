@@ -7,6 +7,7 @@ from .collectives import (
     sync_across_hosts,
 )
 from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, host_local_batch_size,
-                   make_mesh, replicated, shard_batch, shard_host_local)
+                   local_eval_mesh, make_mesh, replicated, shard_batch,
+                   shard_host_local)
 from .partition import (count_sharded, partition_state, state_partition_specs,
                         unet_param_specs)

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
-           "shard_host_local", "host_local_batch_size"]
+           "shard_host_local", "host_local_batch_size", "local_eval_mesh"]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -75,6 +75,26 @@ def shard_host_local(mesh: Mesh, batch):
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
         batch,
     )
+
+
+def local_eval_mesh(batch_size: int) -> Optional[Mesh]:
+    """Data mesh over this process's devices for single-process eval/serving.
+
+    A single-process host with N>1 chips (e.g. one v5e-8 VM) would otherwise
+    run every sampling chain on chip 0 while N-1 chips idle; replicating the
+    variables over this mesh and `shard_batch`-ing each generation batch
+    makes the chains data-parallel with no change to the jitted programs.
+    Returns None when multi-process (the eval scripts' per-host split path
+    already decorrelates work across processes and feeds DIFFERENT per-host
+    batches, which `shard_batch`'s global-array contract would corrupt),
+    when there is a single device, or when the batch doesn't divide evenly.
+    """
+    if jax.process_count() > 1:
+        return None
+    devices = jax.local_devices()
+    if len(devices) <= 1 or batch_size % len(devices) != 0:
+        return None
+    return make_mesh(devices)
 
 
 def host_local_batch_size(global_batch: int, num_shards: Optional[int] = None) -> int:

@@ -146,7 +146,8 @@ def main():
     )
     from causaldiffae_tpu.evals.quality import FID, default_feature_fn
     from causaldiffae_tpu.parallel import (
-        gather_across_hosts, is_primary_host, mean_across_hosts, sync_across_hosts,
+        gather_across_hosts, is_primary_host, local_eval_mesh,
+        mean_across_hosts, replicated, shard_batch, sync_across_hosts,
     )
     from causaldiffae_tpu.models.unet import CausalUNet
     from causaldiffae_tpu.training import create_train_state, make_optimizer
@@ -190,8 +191,23 @@ def main():
         logger.log(f"restored step {int(state.step)} from {args.ckpt_dir}")
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
-    # state is built/restored on host; run eval on the accelerator
-    variables = jax.device_put(variables, jax.local_devices()[0])
+    # state is built/restored on host; run eval on the accelerator(s).
+    # Single-process multi-chip hosts (e.g. one v5e-8 VM) get the chains
+    # data-parallel: variables replicated over a local mesh, every batch
+    # below sharded on 'data'. Multi-process keeps the per-host split path.
+    eval_mesh = local_eval_mesh(args.batch_size)
+    if eval_mesh is not None:
+        variables = jax.device_put(variables, replicated(eval_mesh))
+        logger.log(f"eval is data-parallel over {len(jax.local_devices())} "
+                   f"local devices")
+    else:
+        variables = jax.device_put(variables, jax.local_devices()[0])
+
+    def put(tree):
+        """Place one generation batch (array or dict of arrays)."""
+        if eval_mesh is not None:
+            return shard_batch(eval_mesh, tree)
+        return jax.tree_util.tree_map(jnp.asarray, tree)
 
     scale = np.asarray(DATA_SCALES[dataset])
 
@@ -208,7 +224,7 @@ def main():
         def encode_pool(pool, seed):
             reps = []
             for i in range(0, len(pool["image"]) - args.batch_size + 1, args.batch_size):
-                x = jnp.asarray(pool["image"][i:i + args.batch_size])
+                x = put(pool["image"][i:i + args.batch_size])
                 reps.append(np.asarray(encode_z(x, jax.random.PRNGKey(seed + i))))
             return np.concatenate(reps, 0)
 
@@ -268,12 +284,12 @@ def main():
 
     # fixed probe batch for reconstruction / traversal grids
     probe_sel = rng_np.randint(0, len(test_pool["image"]), args.batch_size)
-    probe_x = jnp.asarray(test_pool["image"][probe_sel])
+    probe_x = put(test_pool["image"][probe_sel])
     probe_cond = {}
     if cfg.class_cond:
-        probe_cond["y"] = jnp.asarray(test_pool["y"][probe_sel])
+        probe_cond["y"] = put(test_pool["y"][probe_sel])
     if cfg.context_cond:
-        probe_cond["c"] = jnp.asarray(test_pool["c"][probe_sel])
+        probe_cond["c"] = put(test_pool["c"][probe_sel])
 
     if not args.no_recon and args.mode != "conditional":
         # reconstruction grid: originals (top rows) above reconstructions
@@ -341,12 +357,12 @@ def main():
         grids = []
         for b in range(n_batches):
             sel = rng_np.randint(0, len(test_pool["image"]), args.batch_size)
-            x = jnp.asarray(test_pool["image"][sel])
+            x = put(test_pool["image"][sel])
             cond = {}
             if cfg.class_cond:
-                cond["y"] = jnp.asarray(test_pool["y"][sel])
+                cond["y"] = put(test_pool["y"][sel])
             if cfg.context_cond:
-                cond["c"] = jnp.asarray(test_pool["c"][sel])
+                cond["c"] = put(test_pool["c"][sel])
 
             raw_value = rng_np.uniform(*rng_range)
             norm_value = (raw_value - scale[var_idx, 0]) / scale[var_idx, 1]
@@ -361,8 +377,10 @@ def main():
                 jax.process_index(),
             )
             if args.mode == "conditional":
-                c_edit = jnp.asarray(test_pool["c"][sel]).at[:, var_idx].set(norm_value)
-                y_cond = jnp.asarray(test_pool["y"][sel]) if cfg.class_cond else None
+                c_edit = np.array(test_pool["c"][sel])
+                c_edit[:, var_idx] = norm_value
+                c_edit = put(c_edit)
+                y_cond = put(test_pool["y"][sel]) if cfg.class_cond else None
                 samples = gen(c_edit, y_cond, x, key)
             else:
                 samples = cf_fn(variables, x, cond, norm_value, key)

@@ -68,9 +68,22 @@ def main():
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
     if args.ckpt_dir:
         state = CheckpointManager(args.ckpt_dir).restore(state)
-    variables = jax.device_put(
-        {"params": state.params, "batch_stats": state.batch_stats}, jax.local_devices()[0]
-    )
+    from causaldiffae_tpu.parallel import local_eval_mesh, replicated, shard_batch
+
+    # single-process multi-chip: data-parallel bpd sweeps (variables
+    # replicated over the local mesh, batches sharded on 'data');
+    # multi-process keeps the per-host shard split above
+    eval_mesh = local_eval_mesh(args.batch_size)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = (jax.device_put(variables, replicated(eval_mesh))
+                 if eval_mesh is not None
+                 else jax.device_put(variables, jax.local_devices()[0]))
+
+    def put(arr):
+        if arr is None:
+            return None
+        return (shard_batch(eval_mesh, arr) if eval_mesh is not None
+                else jnp.asarray(arr))
 
     @jax.jit
     def bpd(x, cond_y, cond_c, z, rng):
@@ -102,9 +115,9 @@ def main():
     N = len(pool["image"])
     for i in range(n_batches):
         idx = (np.arange(args.batch_size) + i * args.batch_size) % N
-        x = jnp.asarray(pool["image"][idx])
-        y = jnp.asarray(pool["y"][idx]) if "y" in pool else None
-        c = jnp.asarray(pool["c"][idx]) if "c" in pool else None
+        x = put(pool["image"][idx])
+        y = put(pool["y"][idx]) if "y" in pool else None
+        c = put(pool["c"][idx]) if "c" in pool else None
         z = encode_z(x, jax.random.PRNGKey(1234 + i)) if cfg.rep_cond else None
         out = bpd(x, y, c, z, jax.random.fold_in(
             jax.random.PRNGKey(args.seed + i), jax.process_index()))

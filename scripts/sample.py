@@ -52,12 +52,28 @@ def main():
         state = CheckpointManager(args.ckpt_dir).restore(state)
         logger.log(f"restored step {int(state.step)}")
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
-    variables = jax.device_put(
-        {"params": params, "batch_stats": state.batch_stats}, jax.local_devices()[0]
-    )
+    variables = {"params": params, "batch_stats": state.batch_stats}
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from causaldiffae_tpu.parallel import local_eval_mesh, replicated
+
+    # single-process multi-chip: replicate variables over the local mesh and
+    # pin the chain OUTPUT sharded on 'data' - the noise/z draws are internal
+    # to fn (and cond may be empty), so the out_sharding is the propagation
+    # anchor that makes XLA run the whole chain batch-parallel
+    eval_mesh = local_eval_mesh(args.batch_size)
+    if eval_mesh is not None:
+        variables = jax.device_put(variables, replicated(eval_mesh))
+        logger.log(f"sampling data-parallel over "
+                   f"{len(jax.local_devices())} local devices")
+        out_shardings = NamedSharding(eval_mesh, P("data"))
+    else:
+        variables = jax.device_put(variables, jax.local_devices()[0])
+        out_shardings = None
 
     fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim),
-                 static_argnums=1)
+                 static_argnums=1, out_shardings=out_shardings)
     shape = (args.batch_size, cfg.image_size, cfg.image_size, cfg.in_channels)
     cond = {}
     if cfg.class_cond:
