@@ -141,8 +141,8 @@ def main():
     from causaldiffae_tpu.config import DATA_SCALES, create_diffusion, create_model, get_config
     from causaldiffae_tpu.data import load_data, synthetic_dataset
     from causaldiffae_tpu.evals import (
-        ClassifierTrainer, compute_dci, load_classifier, classifier_predict_fn,
-        make_counterfactual_fn, make_reconstruct_fn,
+        ClassifierTrainer, compute_dci, compute_irs, load_classifier,
+        classifier_predict_fn, make_counterfactual_fn, make_reconstruct_fn, mcc,
     )
     from causaldiffae_tpu.evals.quality import FID, default_feature_fn
     from causaldiffae_tpu.parallel import (
@@ -233,9 +233,18 @@ def main():
         y_train = train_pool["c"][: len(rep_train)]
         y_test = test_pool["c"][: len(rep_test)]
         scores, _, _ = compute_dci(rep_train.T, y_train.T, rep_test.T, y_test.T)
-        logger.log(f"DCI: {scores}")
-        print(json.dumps({k: float(v) for k, v in scores.items()}))
-        return
+        result = {k: float(v) for k, v in scores.items()}
+        # IRS + MCC: the reference DEFINES both (metrics.py:61-164,235-245)
+        # but never wires them into any shipped eval; report them here next
+        # to DCI. MCC needs equal dims, so the latent is reduced to its
+        # per-variable block means (the SCM latent's natural block structure).
+        result["IRS"] = float(compute_irs(rep_test.T, y_test.T)["IRS"])
+        d_block = rep_test.shape[1] // cfg.n_vars
+        block_means = rep_test.reshape(len(rep_test), cfg.n_vars, d_block).mean(-1)
+        result["MCC_block_mean"] = mcc(np.asarray(y_test), block_means)
+        logger.log(f"disentanglement: {result}")
+        print(json.dumps(result))
+        return result
 
     # ---------------- effectiveness branch ---------------- #
     # anti-causal classifiers: load if provided, else quick-train on the pool

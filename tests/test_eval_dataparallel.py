@@ -119,3 +119,20 @@ def test_nll_cli_dataparallel(ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     line = [l for l in out.splitlines() if l.startswith("{")][-1]
     assert np.isfinite(json.loads(line)["total_bpd"])
+
+
+def test_eval_cli_disentanglement_branch(ckpt, tmp_path):
+    """--eval_disentanglement reports DCI + IRS + MCC in one JSON result."""
+    _register_tiny_preset()
+    import counterfactual_test as ct_cli
+
+    sys.argv = [
+        "counterfactual_test.py", "--preset", "dp_eval_tiny",
+        "--ckpt_dir", ckpt, "--synthetic", "--batch_size", "8",
+        "--out_dir", str(tmp_path / "dci"), "--eval_disentanglement",
+    ]
+    r = ct_cli.main()
+    for key in ("disentanglement", "completeness", "informativeness_test",
+                "IRS", "MCC_block_mean"):
+        assert key in r and np.isfinite(r[key]), (key, r)
+    assert 0.0 <= r["MCC_block_mean"] <= 1.0
