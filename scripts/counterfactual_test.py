@@ -236,12 +236,20 @@ def main():
         result = {k: float(v) for k, v in scores.items()}
         # IRS + MCC: the reference DEFINES both (metrics.py:61-164,235-245)
         # but never wires them into any shipped eval; report them here next
-        # to DCI. MCC needs equal dims, so the latent is reduced to its
+        # to DCI. IRS groups samples by identical factor VALUES, which is
+        # degenerate for continuous factors (every group is a singleton ->
+        # IRS == 1.0 by construction), so factors are first discretized into
+        # 20 quantile bins - the disentanglement_lib convention the metric
+        # assumes. MCC needs equal dims, so the latent is reduced to its
         # per-variable block means (the SCM latent's natural block structure).
-        result["IRS"] = float(compute_irs(rep_test.T, y_test.T)["IRS"])
+        y_np = np.asarray(y_test)
+        y_binned = np.stack([
+            np.digitize(col, np.quantile(col, np.linspace(0, 1, 21)[1:-1]))
+            for col in y_np.T], axis=1)
+        result["IRS"] = float(compute_irs(rep_test.T, y_binned.T)["IRS"])
         d_block = rep_test.shape[1] // cfg.n_vars
         block_means = rep_test.reshape(len(rep_test), cfg.n_vars, d_block).mean(-1)
-        result["MCC_block_mean"] = mcc(np.asarray(y_test), block_means)
+        result["MCC_block_mean"] = mcc(y_np, block_means)
         logger.log(f"disentanglement: {result}")
         print(json.dumps(result))
         return result
