@@ -197,7 +197,7 @@ def main():
     import jax.numpy as jnp
 
     from causaldiffae_tpu.config import create_diffusion
-    from causaldiffae_tpu.diffusion import ddim_sample_loop
+    from causaldiffae_tpu.diffusion import ddim_sample_loop, dpm_solver_pp_loop
     from causaldiffae_tpu.models.unet import CausalUNet
 
     # --- train throughput (the shared protocol in bench_train_only) ---
@@ -226,11 +226,14 @@ def main():
     params = state.params
     batch_stats = state.batch_stats
 
-    def bench_chain(sample_batch: int) -> float:
-        """Mean wall time of one 250-step DDIM chain at this batch size.
+    def bench_chain(sample_batch: int, dpm_steps=None) -> float:
+        """Mean wall time of one sampling chain at this batch size.
 
-        Conditioning and image shape are config-driven so any preset can be
-        the primary (profile_step.py uses the same construction).
+        Default: the 250-step DDIM chain (the reference's eval config);
+        ``dpm_steps`` switches to the DPM-Solver++(2M) fast-serving chain on
+        that many lambda-uniform nodes. Conditioning and image shape are
+        config-driven so any preset can be the primary (profile_step.py uses
+        the same construction).
         """
         y = (jnp.zeros((sample_batch,), dtype=jnp.int32)
              if cfg.class_cond else None)
@@ -245,6 +248,9 @@ def main():
 
         @jax.jit
         def sample(noise, rng):
+            if dpm_steps is not None:
+                return dpm_solver_pp_loop(eval_diff, model_fn, noise,
+                                          num_steps=dpm_steps)
             return ddim_sample_loop(eval_diff, model_fn, noise, rng)
 
         noise = jax.random.normal(
@@ -267,6 +273,11 @@ def main():
     # dispatch + small-matmul underutilization across 8x the images
     serving_dt = bench_chain(cfg.batch_size)
     serving_images_per_sec = cfg.batch_size / serving_dt
+    # fast-serving chain: DPM-Solver++(2M) on 25 lambda-uniform nodes — a
+    # capability beyond the reference (quality parity vs DDIM-250 measured
+    # in RESULTS.md)
+    dpm_dt = bench_chain(SAMPLE_BATCH, dpm_steps=25)
+    dpm_images_per_sec = SAMPLE_BATCH / dpm_dt
 
     # the cached torch-CPU baseline is the MORPHOMNIST config; comparing any
     # other preset against it would be a silently meaningless ratio
@@ -306,6 +317,8 @@ def main():
         "ddim250_images_per_sec": round(ddim_images_per_sec, 3),
         "ddim250_serving_batch": cfg.batch_size,
         "ddim250_serving_images_per_sec": round(serving_images_per_sec, 3),
+        "dpm25_chain_time_s": round(dpm_dt, 4),
+        "dpm25_images_per_sec": round(dpm_images_per_sec, 3),
         "device": str(jax.devices()[0]),
         "batch_size": cfg.batch_size,
     }

@@ -15,7 +15,13 @@ from .process import (
     create_diffusion,
 )
 from .respace import respace_schedule, space_timesteps
-from .sampling import calc_bpd_loop, ddim_reverse_loop, ddim_sample_loop, p_sample_loop
+from .sampling import (
+    calc_bpd_loop,
+    ddim_reverse_loop,
+    ddim_sample_loop,
+    dpm_solver_pp_loop,
+    p_sample_loop,
+)
 from .schedule import (
     DiffusionSchedule,
     betas_for_alpha_bar,

@@ -31,10 +31,33 @@ import jax
 import jax.numpy as jnp
 
 from ..diffusion.process import GaussianDiffusion
-from ..diffusion.sampling import ddim_reverse_loop, ddim_sample_loop, p_sample_loop
+from ..diffusion.sampling import (
+    ddim_reverse_loop,
+    ddim_sample_loop,
+    dpm_solver_pp_loop,
+    p_sample_loop,
+)
 from ..models.unet import CausalUNet, reparameterize
 
-__all__ = ["make_counterfactual_fn", "make_reconstruct_fn", "make_prior_sample_fn"]
+__all__ = ["make_counterfactual_fn", "make_reconstruct_fn", "make_prior_sample_fn",
+           "resolve_sampler"]
+
+
+def resolve_sampler(use_ddim: bool, sampler: Optional[str] = None,
+                    sample_steps: Optional[int] = None):
+    """Pick the generation chain: 'ddim' | 'ddpm' | 'dpm++' (fast ODE solver,
+    no reference counterpart). ``sampler=None`` preserves the historic
+    ``use_ddim`` flag. Returns a loop with the common
+    ``(diffusion, model_fn, noise, rng, *, clip_denoised, w, uncond_fn)``
+    call signature."""
+    if sampler is None:
+        sampler = "ddim" if use_ddim else "ddpm"
+    if sampler == "dpm++":
+        return partial(dpm_solver_pp_loop, num_steps=sample_steps)
+    if sample_steps is not None:
+        raise ValueError("sample_steps only applies to the dpm++ sampler; "
+                         "ddim/ddpm step counts come from timestep_respacing")
+    return {"ddim": ddim_sample_loop, "ddpm": p_sample_loop}[sampler]
 
 
 def _overwrite_block(arr: jnp.ndarray, var_index: int, n_vars: int, value) -> jnp.ndarray:
@@ -56,6 +79,8 @@ def make_counterfactual_fn(
     abduction: str = "qsample",   # 'qsample' (stochastic, the reference's
                                   # shipped path) | 'ddim' (deterministic
                                   # inversion through the conditioned model)
+    sampler: Optional[str] = None,        # 'ddim' | 'ddpm' | 'dpm++'
+    sample_steps: Optional[int] = None,   # dpm++ node budget
 ):
     """Build jittable ``fn(variables, x, cond, value, rng) -> samples``.
 
@@ -65,6 +90,7 @@ def make_counterfactual_fn(
     - the reference's convention).
     """
     assert abduction in ("qsample", "ddim")
+    loop = resolve_sampler(use_ddim, sampler, sample_steps)
     n_vars = cfg.n_vars
     if where == "auto":
         import numpy as np
@@ -122,8 +148,7 @@ def make_counterfactual_fn(
                 diffusion, make_model_fn(make_z(False)), x,
                 clip_denoised=cfg.clip_denoised, w=w, uncond_fn=uncond_fn,
             )
-        sampler = ddim_sample_loop if use_ddim else p_sample_loop
-        return sampler(
+        return loop(
             diffusion, model_fn, x_t, r_chain,
             clip_denoised=cfg.clip_denoised, w=w, uncond_fn=uncond_fn,
         )
@@ -132,12 +157,16 @@ def make_counterfactual_fn(
 
 
 def make_reconstruct_fn(cfg, model: CausalUNet, diffusion: GaussianDiffusion,
-                        *, use_ddim: bool = True, w: Optional[float] = None):
+                        *, use_ddim: bool = True, w: Optional[float] = None,
+                        sampler: Optional[str] = None,
+                        sample_steps: Optional[int] = None):
     """Identity counterfactual (no intervention): encode -> abduct -> regenerate.
 
     Used for reconstruction grids and latent traversals
     (`image_causaldae_test.py:484-520`).
     """
+    loop = resolve_sampler(use_ddim, sampler, sample_steps)
+
     def fn(variables, x, cond, rng):
         B = x.shape[0]
         r_noise, r_rep, r_chain = jax.random.split(rng, 3)
@@ -165,17 +194,20 @@ def make_reconstruct_fn(cfg, model: CausalUNet, diffusion: GaussianDiffusion,
                 return model.apply(variables, xx, tt, y=y, c=c, z=z0, train=False,
                                    method=CausalUNet.denoise)
 
-        sampler = ddim_sample_loop if use_ddim else p_sample_loop
-        return sampler(diffusion, model_fn, x_t, r_chain,
-                       clip_denoised=cfg.clip_denoised, w=w, uncond_fn=uncond_fn)
+        return loop(diffusion, model_fn, x_t, r_chain,
+                    clip_denoised=cfg.clip_denoised, w=w, uncond_fn=uncond_fn)
 
     return fn
 
 
 def make_prior_sample_fn(cfg, model: CausalUNet, diffusion: GaussianDiffusion,
-                         *, use_ddim: bool = False):
+                         *, use_ddim: bool = False,
+                         sampler: Optional[str] = None,
+                         sample_steps: Optional[int] = None):
     """Unconditional prior sampling: z ~ N(0, I), x_T ~ N(0, I)
     (reference `scripts/image_sample_rep.py:55-67`)."""
+    loop = resolve_sampler(use_ddim, sampler, sample_steps)
+
     def fn(variables, shape, cond, rng):
         r_z, r_noise, r_chain = jax.random.split(rng, 3)
         z = jax.random.normal(r_z, (shape[0], cfg.rep_dim))
@@ -186,7 +218,6 @@ def make_prior_sample_fn(cfg, model: CausalUNet, diffusion: GaussianDiffusion,
             return model.apply(variables, xx, tt, y=y, c=c, z=z, train=False,
                                method=CausalUNet.denoise)
 
-        sampler = ddim_sample_loop if use_ddim else p_sample_loop
-        return sampler(diffusion, model_fn, noise, r_chain, clip_denoised=cfg.clip_denoised)
+        return loop(diffusion, model_fn, noise, r_chain, clip_denoised=cfg.clip_denoised)
 
     return fn

@@ -133,6 +133,16 @@ def main():
     parser.add_argument("--clf_epochs", type=int, default=100,
                         help="anti-causal classifier training epochs "
                              "(reference classifiers.py uses 100)")
+    parser.add_argument("--sampler", choices=["ddim", "ddpm", "dpm++"],
+                        default=None,
+                        help="generation chain; default follows the preset's "
+                             "eval_use_ddim. dpm++ = 2nd-order DPM-Solver++ "
+                             "on a lambda-uniform node subset (fast serving "
+                             "path, no reference counterpart)")
+    parser.add_argument("--sample_steps", type=int, default=None,
+                        help="dpm++ node budget (e.g. 25); abduction stays at "
+                             "the respaced top node, only the descent grid "
+                             "is re-spaced")
     args = parser.parse_args()
 
     import jax
@@ -312,7 +322,8 @@ def main():
         # reconstruction grid: originals (top rows) above reconstructions
         # (reference `image_causaldae_test.py:484-498`)
         recon_fn = jax.jit(make_reconstruct_fn(
-            cfg, model, eval_diffusion, use_ddim=cfg.eval_use_ddim, w=w))
+            cfg, model, eval_diffusion, use_ddim=cfg.eval_use_ddim, w=w,
+            sampler=args.sampler, sample_steps=args.sample_steps))
         recon = np.asarray(recon_fn(variables, probe_x, probe_cond,
                                     jax.random.PRNGKey(args.seed + 7)))
         k = min(8, len(recon))
@@ -326,7 +337,9 @@ def main():
 
     if args.mode == "conditional":
         # interventions edit the c vector, conditioning the context model
-        from causaldiffae_tpu.diffusion import ddim_sample_loop
+        from causaldiffae_tpu.evals import resolve_sampler
+
+        loop = resolve_sampler(cfg.eval_use_ddim, args.sampler, args.sample_steps)
 
         def gen(c_edit, y_cond, x, rng):
             def model_fn(xx, tt):
@@ -335,9 +348,9 @@ def main():
             noise = jax.random.normal(jax.random.fold_in(rng, 0), x.shape)
             t = jnp.full((x.shape[0],), cfg.abduction_t, dtype=jnp.int32)
             x_t = eval_diffusion.q_sample(x, t, noise)
-            return ddim_sample_loop(eval_diffusion, model_fn, x_t,
-                                    jax.random.fold_in(rng, 1),
-                                    clip_denoised=cfg.clip_denoised)
+            return loop(eval_diffusion, model_fn, x_t,
+                        jax.random.fold_in(rng, 1),
+                        clip_denoised=cfg.clip_denoised)
 
         gen = jax.jit(gen)
 
@@ -350,6 +363,7 @@ def main():
                 cfg, model, eval_diffusion, intervene_var=var_idx,
                 where="pre" if args.mode == "diffae" else args.where,
                 use_ddim=cfg.eval_use_ddim, w=w, abduction=args.abduction,
+                sampler=args.sampler, sample_steps=args.sample_steps,
             ))
         if args.traversal and args.mode != "conditional":
             # latent traversal: sweep the variable over its normalized range

@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--num_samples", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--use_ddim", action="store_true")
+    parser.add_argument("--sampler", choices=["ddim", "ddpm", "dpm++"], default=None,
+                        help="dpm++ = 2nd-order DPM-Solver++ fast ODE chain")
+    parser.add_argument("--sample_steps", type=int, default=None,
+                        help="dpm++ node budget (e.g. 25)")
     parser.add_argument("--use_ema", type=lambda s: s.lower() in ("1", "true", "t", "y"),
                         default=False)
     parser.add_argument("--out_dir", default="/tmp/causaldiffae_samples")
@@ -72,7 +76,9 @@ def main():
         variables = jax.device_put(variables, jax.local_devices()[0])
         out_shardings = None
 
-    fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim),
+    fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim,
+                                      sampler=args.sampler,
+                                      sample_steps=args.sample_steps),
                  static_argnums=1, out_shardings=out_shardings)
     shape = (args.batch_size, cfg.image_size, cfg.image_size, cfg.in_channels)
     cond = {}

@@ -203,6 +203,26 @@ def test_counterfactual_guidance_path(cf_setup):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_counterfactual_dpm_solver_sampler(cf_setup):
+    """The dpm++ serving chain must run the full counterfactual pipeline
+    (abduct at the respaced top node, descend on its own lambda-uniform
+    grid), deterministically, with sane outputs; the ddim/sample_steps combo
+    must be rejected."""
+    cfg, model, eval_diff, variables, batch = cf_setup
+    x = batch["image"]
+    cond = {"y": batch["y"]}
+    fn = jax.jit(make_counterfactual_fn(
+        cfg, model, eval_diff, intervene_var=0, sampler="dpm++", sample_steps=4,
+    ))
+    out1 = fn(variables, x, cond, 0.2, jax.random.PRNGKey(1))
+    out2 = fn(variables, x, cond, 0.2, jax.random.PRNGKey(1))
+    assert out1.shape == x.shape
+    assert bool(jnp.isfinite(out1).all())
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    with pytest.raises(ValueError):
+        make_reconstruct_fn(cfg, model, eval_diff, sampler="ddim", sample_steps=4)
+
+
 def test_reconstruct_and_prior_sample(cf_setup):
     cfg, model, eval_diff, variables, batch = cf_setup
     rec = jax.jit(make_reconstruct_fn(cfg, model, eval_diff))
