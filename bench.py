@@ -178,22 +178,16 @@ def bench_train_only(preset: str, pool: int = 0, return_handles: bool = False):
     return result, handles
 
 
-def main():
-    import argparse
+def bench_primary(preset: str) -> dict:
+    """Full treatment for the primary preset: train step, feed overhead,
+    DDIM/dpm++ sampler chains, baseline ratio, TFLOPS/MFU.
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--presets", default=",".join(ALL_PRESETS),
-                    help="comma-separated preset names (first one gets the "
-                         "full feed/sampler/baseline treatment)")
-    cli = ap.parse_args()
-    presets = [p for p in cli.presets.split(",") if p]
-
+    Runs in its own frame so every device handle it creates (TrainState incl.
+    Adam/EMA, compiled step, chain params) is dropped when it returns -
+    otherwise a memory-tight chip can turn the nested family benches that
+    follow into a silent {"error": RESOURCE_EXHAUSTED}.
+    """
     import jax
-
-    # persistent compile cache: bench compiles once per machine, not per run
-    cache_dir = str(REPO / ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from causaldiffae_tpu.config import create_diffusion
@@ -201,7 +195,7 @@ def main():
     from causaldiffae_tpu.models.unet import CausalUNet
 
     # --- train throughput (the shared protocol in bench_train_only) ---
-    _, h = bench_train_only(presets[0], pool=1024, return_handles=True)
+    _, h = bench_train_only(preset, pool=1024, return_handles=True)
     cfg, model, state, it = h["cfg"], h["model"], h["state"], h["it"]
     step_fn = h["step_fn"]
     train_dt, train_sps = h["dt"], h["sps"]
@@ -281,7 +275,7 @@ def main():
 
     # the cached torch-CPU baseline is the MORPHOMNIST config; comparing any
     # other preset against it would be a silently meaningless ratio
-    if presets[0] == "morphomnist_causaldae":
+    if preset == "morphomnist_causaldae":
         base = get_baseline()
         base_sps = base.get("torch_cpu_train_samples_per_sec")
         vs_baseline = (train_sps / base_sps) if base_sps else None
@@ -297,8 +291,8 @@ def main():
     peak, peak_source = h["peak"], h["peak_source"]
     mfu = achieved_tflops / peak if peak else None
 
-    result = {
-        "metric": f"train_samples_per_sec_{presets[0]}",
+    return {
+        "metric": f"train_samples_per_sec_{preset}",
         "value": round(train_sps, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -322,11 +316,26 @@ def main():
         "device": str(jax.devices()[0]),
         "batch_size": cfg.batch_size,
     }
-    # free the primary preset's device residency (TrainState incl. Adam/EMA,
-    # the compiled step, chain params) BEFORE the nested family benches
-    # allocate their own TrainStates - otherwise a memory-tight chip can
-    # turn a real measurement into a silent {"error": RESOURCE_EXHAUSTED}
-    del h, state, step_fn, params, batch_stats, bench_chain, metrics, next_batch, b
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--presets", default=",".join(ALL_PRESETS),
+                    help="comma-separated preset names (first one gets the "
+                         "full feed/sampler/baseline treatment)")
+    cli = ap.parse_args()
+    presets = [p for p in cli.presets.split(",") if p]
+
+    import jax
+
+    # persistent compile cache: bench compiles once per machine, not per run
+    cache_dir = str(REPO / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    result = bench_primary(presets[0])
 
     # the other workload families: step time / TFLOPS / MFU as nested keys
     # (morphomnist top-level keys stay stable for the driver)

@@ -6,8 +6,8 @@ from .collectives import (
     mean_across_hosts,
     sync_across_hosts,
 )
-from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, host_local_batch_size,
-                   local_eval_mesh, make_mesh, replicated, shard_batch,
-                   shard_host_local)
+from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, eval_placement,
+                   host_local_batch_size, local_eval_mesh, make_mesh,
+                   replicated, shard_batch, shard_host_local)
 from .partition import (count_sharded, partition_state, state_partition_specs,
                         unet_param_specs)

@@ -19,7 +19,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
-           "shard_host_local", "host_local_batch_size", "local_eval_mesh"]
+           "shard_host_local", "host_local_batch_size", "local_eval_mesh",
+           "eval_placement"]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -95,6 +96,42 @@ def local_eval_mesh(batch_size: int) -> Optional[Mesh]:
     if len(devices) <= 1 or batch_size % len(devices) != 0:
         return None
     return make_mesh(devices)
+
+
+def eval_placement(variables, batch_size: int):
+    """Place restored model variables for eval/serving; one rule, every CLI.
+
+    Returns ``(variables, put, mesh)``:
+
+    - single-process multi-chip (and batch divides the device count):
+      ``variables`` replicated over the local data mesh, ``put`` shards each
+      generation batch on 'data' — the chains run data-parallel across every
+      local chip with no change to the jitted programs;
+    - otherwise: ``variables`` pinned to device 0, ``put`` is a plain
+      device transfer (multi-process keeps the scripts' per-host split path,
+      whose DIFFERENT per-host batches `shard_batch`'s global-array contract
+      would corrupt).
+
+    ``put`` accepts an array, a pytree of arrays, or None. ``mesh`` (None on
+    the fallback) is exposed for callers that need an ``out_shardings``
+    anchor (e.g. prior sampling, where the batch is internal to the chain).
+    """
+    import jax.numpy as jnp
+
+    mesh = local_eval_mesh(batch_size)
+    if mesh is not None:
+        variables = jax.device_put(variables, replicated(mesh))
+    else:
+        variables = jax.device_put(variables, jax.local_devices()[0])
+
+    def put(tree):
+        if tree is None:
+            return None
+        if mesh is not None:
+            return shard_batch(mesh, tree)
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    return variables, put, mesh
 
 
 def host_local_batch_size(global_batch: int, num_shards: Optional[int] = None) -> int:

@@ -144,6 +144,9 @@ def main():
                              "the respaced top node, only the descent grid "
                              "is re-spaced")
     args = parser.parse_args()
+    if args.sample_steps is not None and args.sampler != "dpm++":
+        parser.error("--sample_steps only applies to --sampler dpm++; "
+                     "ddim/ddpm step counts come from timestep_respacing")
 
     import jax
     import jax.numpy as jnp
@@ -156,8 +159,8 @@ def main():
     )
     from causaldiffae_tpu.evals.quality import FID, default_feature_fn
     from causaldiffae_tpu.parallel import (
-        gather_across_hosts, is_primary_host, local_eval_mesh,
-        mean_across_hosts, replicated, shard_batch, sync_across_hosts,
+        eval_placement, gather_across_hosts, is_primary_host,
+        mean_across_hosts, sync_across_hosts,
     )
     from causaldiffae_tpu.models.unet import CausalUNet
     from causaldiffae_tpu.training import create_train_state, make_optimizer
@@ -202,22 +205,12 @@ def main():
     params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
     # state is built/restored on host; run eval on the accelerator(s).
-    # Single-process multi-chip hosts (e.g. one v5e-8 VM) get the chains
-    # data-parallel: variables replicated over a local mesh, every batch
-    # below sharded on 'data'. Multi-process keeps the per-host split path.
-    eval_mesh = local_eval_mesh(args.batch_size)
+    # Single-process multi-chip hosts get the chains data-parallel;
+    # multi-process keeps the per-host split path (see eval_placement).
+    variables, put, eval_mesh = eval_placement(variables, args.batch_size)
     if eval_mesh is not None:
-        variables = jax.device_put(variables, replicated(eval_mesh))
         logger.log(f"eval is data-parallel over {len(jax.local_devices())} "
                    f"local devices")
-    else:
-        variables = jax.device_put(variables, jax.local_devices()[0])
-
-    def put(tree):
-        """Place one generation batch (array or dict of arrays)."""
-        if eval_mesh is not None:
-            return shard_batch(eval_mesh, tree)
-        return jax.tree_util.tree_map(jnp.asarray, tree)
 
     scale = np.asarray(DATA_SCALES[dataset])
 
@@ -418,8 +411,12 @@ def main():
             samples = np.asarray(samples)
             grids.append(samples)
 
+            # one clip + host->device transfer per batch, shared by every
+            # probe (a per-predictor transfer would round-trip the tunnel
+            # n_factors times per batch)
+            clipped = jnp.asarray(np.clip(samples, 0, 1))
             for f, pred in enumerate(predictors):
-                out = np.asarray(pred(jnp.asarray(np.clip(samples, 0, 1))))
+                out = np.asarray(pred(clipped))
                 mae[VAR_NAMES[dataset][f]].append(
                     np.abs(out - gt_norm[:, f]).mean()
                 )

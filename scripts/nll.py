@@ -68,22 +68,12 @@ def main():
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
     if args.ckpt_dir:
         state = CheckpointManager(args.ckpt_dir).restore(state)
-    from causaldiffae_tpu.parallel import local_eval_mesh, replicated, shard_batch
+    from causaldiffae_tpu.parallel import eval_placement
 
-    # single-process multi-chip: data-parallel bpd sweeps (variables
-    # replicated over the local mesh, batches sharded on 'data');
-    # multi-process keeps the per-host shard split above
-    eval_mesh = local_eval_mesh(args.batch_size)
+    # single-process multi-chip: data-parallel bpd sweeps; multi-process
+    # keeps the per-host shard split above (see eval_placement)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    variables = (jax.device_put(variables, replicated(eval_mesh))
-                 if eval_mesh is not None
-                 else jax.device_put(variables, jax.local_devices()[0]))
-
-    def put(arr):
-        if arr is None:
-            return None
-        return (shard_batch(eval_mesh, arr) if eval_mesh is not None
-                else jnp.asarray(arr))
+    variables, put, _ = eval_placement(variables, args.batch_size)
 
     @jax.jit
     def bpd(x, cond_y, cond_c, z, rng):

@@ -60,20 +60,18 @@ def main():
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from causaldiffae_tpu.parallel import local_eval_mesh, replicated
+    from causaldiffae_tpu.parallel import eval_placement
 
     # single-process multi-chip: replicate variables over the local mesh and
     # pin the chain OUTPUT sharded on 'data' - the noise/z draws are internal
     # to fn (and cond may be empty), so the out_sharding is the propagation
     # anchor that makes XLA run the whole chain batch-parallel
-    eval_mesh = local_eval_mesh(args.batch_size)
+    variables, _, eval_mesh = eval_placement(variables, args.batch_size)
     if eval_mesh is not None:
-        variables = jax.device_put(variables, replicated(eval_mesh))
         logger.log(f"sampling data-parallel over "
                    f"{len(jax.local_devices())} local devices")
         out_shardings = NamedSharding(eval_mesh, P("data"))
     else:
-        variables = jax.device_put(variables, jax.local_devices()[0])
         out_shardings = None
 
     fn = jax.jit(make_prior_sample_fn(cfg, model, diffusion, use_ddim=args.use_ddim,

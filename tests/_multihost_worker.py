@@ -42,15 +42,9 @@ jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 
 def _small_cfg():
-    from causaldiffae_tpu.config import Config
+    from _tiny_config import tiny_config  # tests/ is on sys.path (script dir)
 
-    return Config(
-        name="mh_smoke", dataset="morphomnist", image_size=28, in_channels=1,
-        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
-        attention_resolutions="14", class_cond=True, rep_cond=True,
-        causal_modeling=True, masking=True, diffusion_steps=100,
-        batch_size=16,
-    )
+    return tiny_config(name="mh_smoke", batch_size=16)
 
 
 def _fingerprint(params, losses, outdir, process_id):
@@ -146,7 +140,6 @@ def run_cfeval(cfg, outdir, process_id):
     import causaldiffae_tpu.config as config_mod
     from causaldiffae_tpu.config import create_diffusion, create_model
     from causaldiffae_tpu.data import synthetic_iterator
-    from causaldiffae_tpu.parallel import host_local_batch_size
     from causaldiffae_tpu.training.loop import TrainLoop
 
     eval_cfg = cfg.replace(
@@ -160,9 +153,12 @@ def run_cfeval(cfg, outdir, process_id):
     evdir = str(Path(outdir) / "eval")
     model = create_model(eval_cfg)
     diffusion = create_diffusion(eval_cfg)
-    local = host_local_batch_size(eval_cfg.batch_size)
-    data = synthetic_iterator(eval_cfg.dataset, local, pool=local * 4,
-                              seed=100 + process_id)
+    # GLOBAL batch + shared seed: synthetic_iterator's shard=True default
+    # gives each process its [rank::P] pool slice and B/P rows per batch —
+    # the shipped per-host feed convention, exercised as-is (a pre-divided
+    # batch here would be sharded AGAIN, silently halving the global batch)
+    data = synthetic_iterator(eval_cfg.dataset, eval_cfg.batch_size,
+                              pool=eval_cfg.batch_size * 4, seed=100)
     loop = TrainLoop(eval_cfg, model, diffusion, data, ckpt_dir=ckdir)
     loop.run_loop(num_steps=2)
 

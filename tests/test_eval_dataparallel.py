@@ -21,19 +21,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 import jax
 
 import causaldiffae_tpu.config as config_mod
-from causaldiffae_tpu.config import Config, create_diffusion, create_model
+from causaldiffae_tpu.config import create_diffusion, create_model
 from causaldiffae_tpu.data import synthetic_iterator
 from causaldiffae_tpu.parallel import local_eval_mesh
 from causaldiffae_tpu.training.loop import TrainLoop
 
 
 def _register_tiny_preset(name="dp_eval_tiny"):
-    cfg = Config(
-        name=name, dataset="morphomnist", image_size=28, in_channels=1,
-        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
-        attention_resolutions="14", class_cond=True, rep_cond=True,
-        causal_modeling=True, masking=True, diffusion_steps=100,
-        batch_size=8, eval_timestep_respacing="10", abduction_t=9,
+    from _tiny_config import tiny_config
+
+    cfg = tiny_config(
+        name=name, eval_timestep_respacing="10", abduction_t=9,
         num_samples=8, total_steps=1, save_interval=1, log_interval=1,
     )
     config_mod.PRESETS[name] = cfg
@@ -59,6 +57,29 @@ def test_local_eval_mesh_gating():
     assert mesh is not None and mesh.devices.size == len(jax.local_devices())
 
 
+def test_eval_placement_helper():
+    """The shared placement rule behind every eval CLI: mesh path replicates
+    variables + shards batches; fallback pins to device 0; None passes
+    through put()."""
+    from causaldiffae_tpu.parallel import eval_placement
+
+    variables = {"params": {"w": np.ones((4, 4), np.float32)}}
+    v, put, mesh = eval_placement(variables, 8)
+    assert mesh is not None
+    w = v["params"]["w"]
+    assert w.sharding.is_fully_replicated
+    b = put(np.zeros((8, 2), np.float32))
+    assert not b.sharding.is_fully_replicated  # sharded on 'data'
+    assert b.sharding.shard_shape(b.shape)[0] == 8 // len(jax.local_devices())
+    assert put(None) is None
+
+    # indivisible batch -> single-device fallback
+    v1, put1, mesh1 = eval_placement(variables, 12)
+    assert mesh1 is None
+    assert v1["params"]["w"].sharding.device_set == {jax.local_devices()[0]}
+    assert put1({"x": np.zeros(3)})["x"].shape == (3,)
+
+
 def _run_eval_cli(ckpt_dir, out_dir, clf_dir):
     import counterfactual_test as ct_cli
 
@@ -82,12 +103,14 @@ def test_eval_cli_dataparallel_matches_single_device(ckpt, tmp_path, monkeypatch
     arr = np.load(tmp_path / "dp" / "samples_do_thickness.npz")["samples"]
     assert arr.shape[0] == 8
 
-    import causaldiffae_tpu.parallel as par
+    import causaldiffae_tpu.parallel.mesh as mesh_mod
     import counterfactual_test as ct_cli  # noqa: F401
 
     # force the single-device path (what a 1-chip host runs) - same probes,
-    # same seed; the MAE must be identical: the mesh is layout only
-    monkeypatch.setattr(par, "local_eval_mesh", lambda bs: None)
+    # same seed; the MAE must be identical: the mesh is layout only.
+    # Patch the mesh MODULE: eval_placement resolves local_eval_mesh from
+    # its own module globals, not the package re-export.
+    monkeypatch.setattr(mesh_mod, "local_eval_mesh", lambda bs: None)
     r_sd = _run_eval_cli(ckpt, str(tmp_path / "sd"), clf_dir)
     assert set(r_dp) == set(r_sd)
     for k in r_dp:

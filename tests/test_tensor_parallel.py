@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
-from causaldiffae_tpu.config import Config, create_diffusion, create_model
+from causaldiffae_tpu.config import create_diffusion, create_model
 from causaldiffae_tpu.data import synthetic_iterator
 from causaldiffae_tpu.parallel import (
     MODEL_AXIS, count_sharded, make_mesh, partition_state, replicated,
@@ -23,15 +23,9 @@ from causaldiffae_tpu.training import (
 
 
 def tiny_cfg(**kw):
-    base = dict(
-        name="tp_test", dataset="morphomnist", image_size=28, in_channels=1,
-        num_channels=32, num_res_blocks=1, num_heads=2, n_vars=2, rep_dim=32,
-        attention_resolutions="14", class_cond=True, rep_cond=True,
-        causal_modeling=True, masking=True, diffusion_steps=100,
-        batch_size=8,
-    )
-    base.update(kw)
-    return Config(**base)
+    from _tiny_config import tiny_config
+
+    return tiny_config(name="tp_test", **kw)
 
 
 @pytest.fixture(scope="module")
