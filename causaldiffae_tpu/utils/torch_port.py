@@ -1,10 +1,15 @@
-"""Import reference PyTorch checkpoints into the flax model.
+"""Import/export reference PyTorch checkpoints to/from the flax model.
 
-Converts a torch ``state_dict`` from the reference `UNetModel`
+Import: converts a torch ``state_dict`` from the reference `UNetModel`
 (`improved_diffusion/unet.py:279-664`) into this framework's flax variables
 (params + batch_stats), so users can migrate trained reference checkpoints
 (``model*.pt`` / ``ema_checkpoint.pt``, `train_util.py:319-345`) without
 retraining. Also the backbone of the torch-parity tests.
+
+Export: the exact inverse (`export_torch_state_dict`) — writes trained flax
+variables back out under the reference's state_dict keys, so models trained
+HERE load into the reference's torch code (migration works both ways).
+Roundtrip identity is test-pinned in ``tests/test_torch_parity.py``.
 
 Layout conversions:
 - Linear:   torch (out, in)        -> kernel (in, out)          [transpose]
@@ -23,7 +28,9 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-__all__ = ["torch_state_dict_to_numpy", "port_torch_state_dict", "load_torch_checkpoint"]
+__all__ = ["torch_state_dict_to_numpy", "port_torch_state_dict",
+           "load_torch_checkpoint", "export_torch_state_dict",
+           "save_torch_checkpoint"]
 
 
 def torch_state_dict_to_numpy(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
@@ -226,3 +233,176 @@ def load_torch_checkpoint(cfg, path: str) -> Dict[str, Any]:
 
     sd = torch.load(path, map_location="cpu")
     return port_torch_state_dict(cfg, torch_state_dict_to_numpy(sd))
+
+
+# --------------------------- export (flax -> torch) ----------------------- #
+
+def _np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _ex_linear(out, prefix, p):
+    out[f"{prefix}.weight"] = _np(p["kernel"]).T
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _ex_conv2d(out, prefix, p):
+    out[f"{prefix}.weight"] = _np(p["kernel"]).transpose(3, 2, 0, 1)
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _ex_conv1d_from_dense(out, prefix, p):
+    out[f"{prefix}.weight"] = _np(p["kernel"]).T[:, :, None]
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _ex_norm(out, prefix, p):
+    out[f"{prefix}.weight"] = _np(p["scale"])
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _ex_flatten_perm_linear(out, prefix, p, channels, spatial):
+    """Inverse of `_flatten_perm_linear`: HWC-major flatten -> torch C-major."""
+    w = _np(p["kernel"]).T                                    # (out, H*W*C)
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, spatial, spatial, channels)        # (out, H, W, C)
+    out[f"{prefix}.weight"] = w.transpose(0, 3, 1, 2).reshape(out_dim, -1)
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _ex_resblock(out, prefix, p):
+    _ex_norm(out, f"{prefix}.in_layers.0", p["GroupNorm32_0"])
+    _ex_conv2d(out, f"{prefix}.in_layers.2", p["Conv3x3_0"]["Conv_0"])
+    _ex_linear(out, f"{prefix}.emb_layers.1", p["DenseT_0"]["Dense_0"])
+    _ex_norm(out, f"{prefix}.out_layers.0", p["GroupNorm32_1"])
+    _ex_conv2d(out, f"{prefix}.out_layers.3", p["Conv3x3_1"]["Conv_0"])
+    for skip in ("Conv1x1_0", "Conv3x3_2"):
+        if skip in p:
+            _ex_conv2d(out, f"{prefix}.skip_connection", p[skip]["Conv_0"])
+
+
+def _ex_attention(out, prefix, p):
+    _ex_norm(out, f"{prefix}.norm", p["GroupNorm32_0"])
+    _ex_conv1d_from_dense(out, f"{prefix}.qkv", p["DenseT_0"]["Dense_0"])
+    _ex_conv1d_from_dense(out, f"{prefix}.proj_out", p["DenseT_1"]["Dense_0"])
+
+
+def export_torch_state_dict(cfg, variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Write flax variables back out under the reference's state_dict keys.
+
+    The exact inverse of `port_torch_state_dict`: a model trained here loads
+    into the reference's torch `UNetModel` (`improved_diffusion/unet.py:279`)
+    via ``model.load_state_dict({k: torch.from_numpy(v) ...})``. BatchNorm
+    ``num_batches_tracked`` counters (torch bookkeeping with no flax
+    counterpart) are emitted as 0 — torch only consults them under
+    ``momentum=None``, which the reference encoder never uses
+    (`nn.py:229-244`).
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    _ex_linear(sd, "time_embed.0", params["time_dense1"]["Dense_0"])
+    _ex_linear(sd, "time_embed.2", params["time_dense2"]["Dense_0"])
+    if "label_emb" in params:
+        sd["label_emb.weight"] = _np(params["label_emb"]["embedding"])
+    if "c_dense1" in params:
+        _ex_linear(sd, "c_emb.0", params["c_dense1"]["Dense_0"])
+        _ex_linear(sd, "c_emb.2", params["c_dense2"]["Dense_0"])
+
+    if "rep_emb" in params:
+        trunk_p = params["rep_emb"]["trunk"]
+        trunk_s = batch_stats["rep_emb"]["trunk"]
+        n_convs = sum(1 for k in trunk_p if k.startswith("Conv3x3_"))
+        ch = None
+        for i in range(n_convs):
+            _ex_conv2d(sd, f"rep_emb.encoder.{i}.0", trunk_p[f"Conv3x3_{i}"]["Conv_0"])
+            _ex_norm(sd, f"rep_emb.encoder.{i}.1", trunk_p[f"BatchNorm_{i}"])
+            s = trunk_s[f"BatchNorm_{i}"]
+            sd[f"rep_emb.encoder.{i}.1.running_mean"] = _np(s["mean"])
+            sd[f"rep_emb.encoder.{i}.1.running_var"] = _np(s["var"])
+            sd[f"rep_emb.encoder.{i}.1.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+            ch = sd[f"rep_emb.encoder.{i}.0.weight"].shape[0]
+        final_spatial = cfg.image_size
+        for _ in range(n_convs):
+            final_spatial = (final_spatial + 1) // 2
+        _ex_flatten_perm_linear(sd, "rep_emb.fc_mu",
+                                params["rep_emb"]["fc_mu"]["Dense_0"], ch, final_spatial)
+        _ex_flatten_perm_linear(sd, "rep_emb.fc_var",
+                                params["rep_emb"]["fc_var"]["Dense_0"], ch, final_spatial)
+        _ex_linear(sd, "up_emb", params["up_emb"]["Dense_0"])
+
+    if "causal_mask" in params:
+        nl = params["causal_mask"]["nonlinearities"]
+        for i in range(cfg.n_vars):
+            sd[f"causal_mask.nonlinearities.{i}.net.0.weight"] = _np(nl["w1"][i]).T
+            sd[f"causal_mask.nonlinearities.{i}.net.0.bias"] = _np(nl["b1"][i])
+            sd[f"causal_mask.nonlinearities.{i}.net.2.weight"] = _np(nl["w2"][i]).T
+            sd[f"causal_mask.nonlinearities.{i}.net.2.bias"] = _np(nl["b2"][i])
+        if "A" in params["causal_mask"]:
+            sd["causal_mask.A"] = _np(params["causal_mask"]["A"])
+
+    if "causal_flow" in params:
+        for name in ("s_cond", "t_cond"):
+            mlp = params["causal_flow"][name]
+            for j, dense in ((0, "Dense_0"), (2, "Dense_1"), (4, "Dense_2")):
+                _ex_linear(sd, f"causal_flow.{name}.{j}", mlp[dense])
+
+    # --- UNet stacks: the same layout walk as port_torch_state_dict --- #
+    def export_seq(flax_prefix, torch_prefix, kinds):
+        for j, kind in enumerate(kinds):
+            tp = f"{torch_prefix}.{j}"
+            p = params[f"{flax_prefix}_{j}"]
+            if kind == "conv":
+                _ex_conv2d(sd, tp, p["Conv_0"])
+            elif kind.startswith("res"):
+                _ex_resblock(sd, tp, p)
+            elif kind == "attn":
+                _ex_attention(sd, tp, p)
+            elif kind == "down":
+                _ex_conv2d(sd, f"{tp}.op", p["Conv3x3_0"]["Conv_0"])
+            elif kind == "up":
+                _ex_conv2d(sd, f"{tp}.conv", p["Conv3x3_0"]["Conv_0"])
+
+    attention_ds = cfg.attention_ds
+    channel_mult = cfg.channel_mult
+
+    export_seq("input_blocks_0", "input_blocks.0", ["conv"])
+    idx = 1
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            kinds = ["res"] + (["attn"] if ds in attention_ds else [])
+            export_seq(f"input_blocks_{idx}", f"input_blocks.{idx}", kinds)
+            idx += 1
+        if level != len(channel_mult) - 1:
+            export_seq(f"input_blocks_{idx}", f"input_blocks.{idx}", ["down"])
+            idx += 1
+            ds *= 2
+
+    export_seq("middle_blocks", "middle_block", ["res", "attn", "res"])
+
+    idx = 0
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            kinds = ["res"]
+            if ds in attention_ds:
+                kinds.append("attn")
+            if level and i == cfg.num_res_blocks:
+                kinds.append("up")
+                ds //= 2
+            export_seq(f"output_blocks_{idx}", f"output_blocks.{idx}", kinds)
+            idx += 1
+
+    _ex_norm(sd, "out.0", params["out_norm"])
+    _ex_conv2d(sd, "out.2", params["out_conv"]["Conv_0"])
+    return sd
+
+
+def save_torch_checkpoint(cfg, variables: Mapping[str, Any], path: str) -> None:
+    """Save flax variables as a reference-loadable ``model*.pt`` file."""
+    import torch
+
+    sd = export_torch_state_dict(cfg, variables)
+    # copy=True: jax buffers surface as non-writable numpy views
+    torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}, path)

@@ -292,3 +292,44 @@ def test_load_torch_checkpoint_file_roundtrip(torch_model, flax_setup, tmp_path)
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         loaded, variables,
     )
+
+
+def test_export_roundtrip_exact(torch_model, flax_setup):
+    """Export is the exact inverse of import: torch sd -> flax -> torch sd
+    reproduces every tensor bitwise and the full key set (num_batches_tracked
+    counters are re-emitted as 0 - torch bookkeeping with no flax state)."""
+    from causaldiffae_tpu.utils.torch_port import export_torch_state_dict
+
+    _, variables = flax_setup
+    sd0 = torch_state_dict_to_numpy(torch_model.state_dict())
+    sd1 = export_torch_state_dict(CFG, variables)
+
+    assert set(sd1) == set(sd0)
+    for k in sd0:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(sd1[k], sd0[k].astype(np.float32),
+                                      err_msg=k)
+        assert sd1[k].shape == sd0[k].shape, k
+
+
+def test_export_loads_into_reference_model(torch_model, flax_setup, tmp_path):
+    """The shipped migration path: save_torch_checkpoint writes a .pt the
+    reference's own torch model load_state_dict accepts strictly, and the
+    re-imported flax variables are identical to the originals."""
+    from causaldiffae_tpu.utils.torch_port import (
+        load_torch_checkpoint, save_torch_checkpoint)
+
+    _, variables = flax_setup
+    path = tmp_path / "exported.pt"
+    save_torch_checkpoint(CFG, variables, str(path))
+
+    sd = torch.load(path, map_location="cpu")
+    missing, unexpected = torch_model.load_state_dict(sd, strict=True), None
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    reimported = load_torch_checkpoint(CFG, str(path))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        reimported, variables,
+    )
