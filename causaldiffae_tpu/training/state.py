@@ -102,6 +102,52 @@ def create_train_state(cfg, model, tx: optax.GradientTransformation, rng: jax.Ar
     return build()
 
 
+def restore_eval_state(cfg, model, ckpt_dir=None, template_batch=None,
+                       batch_size: int = 1) -> TrainState:
+    """Template TrainState on host + optional checkpoint restore.
+
+    The shared init->restore boilerplate of every eval/serving CLI
+    (counterfactual_test, sample, nll, export_torch). ``template_batch``
+    only supplies shapes; when omitted a ``batch_size``-row synthetic batch
+    is rendered (batch size does not affect param shapes, so 1 is enough
+    and keeps CLI startup cheap). Restore fails fast on a missing/empty
+    checkpoint directory (CheckpointManager raises FileNotFoundError).
+    """
+    from ..data import synthetic_dataset  # lazy: avoid training<->data cycle
+    from .checkpoint import CheckpointManager
+
+    if template_batch is None:
+        pool = synthetic_dataset(cfg.dataset, batch_size, seed=cfg.seed)
+        template_batch = {k: jnp.asarray(v) for k, v in pool.items()}
+    state = create_train_state(cfg, model, make_optimizer(cfg),
+                               jax.random.PRNGKey(cfg.seed), template_batch)
+    if ckpt_dir:
+        state = CheckpointManager(ckpt_dir).restore(state)
+    return state
+
+
+def eval_params(state: TrainState, cfg, use_ema: bool = False):
+    """Resolve the param tree eval should run with.
+
+    Raw params by default — matches the reference's eval scripts and avoids
+    the EMA-still-mostly-init trap at short budgets (see CLAUDE.md
+    invariants). With ``use_ema`` the FIRST configured rate's tree is
+    returned, and a missing key is an ERROR rather than a silent fallback
+    to raw params (comma-separated ``ema_rate`` strings are not themselves
+    keys of ``ema_params``; ``ema_rates(cfg)`` is the key source of truth).
+    """
+    if not use_ema:
+        return state.params
+    rates = ema_rates(cfg)
+    if not rates:
+        raise ValueError("use_ema requested but cfg.ema_rate is empty")
+    key = rates[0]
+    if key not in state.ema_params:
+        raise KeyError(f"EMA rate {key!r} not in checkpoint ema_params "
+                       f"(present: {sorted(state.ema_params)})")
+    return state.ema_params[key]
+
+
 def kl_weight_for_step(step: jnp.ndarray, total_steps: int,
                        initial: float = 0.0, final: float = 1.0) -> jnp.ndarray:
     """Linear KL-weight anneal (reference `train_util.py:174-186,212-214`).

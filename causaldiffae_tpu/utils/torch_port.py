@@ -97,6 +97,47 @@ def _attention(sd, prefix):
     }
 
 
+def _unet_walk(cfg):
+    """Yield ``(flax_prefix, torch_prefix, kinds)`` over the UNet stacks.
+
+    The single source of truth for the block topology (input/middle/output
+    ModuleLists and the ``ds`` bookkeeping that gates attention/up/down
+    blocks) — mirrors `CausalUNet.setup` and the reference's ModuleList
+    construction (`improved_diffusion/unet.py:331-436`). Consumed by BOTH
+    the import walk (`port_torch_state_dict`) and the export walk
+    (`export_torch_state_dict`) so the two can never drift.
+    """
+    attention_ds = cfg.attention_ds
+    channel_mult = cfg.channel_mult
+
+    yield "input_blocks_0", "input_blocks.0", ["conv"]
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for _ in range(cfg.num_res_blocks):
+            kinds = ["res"] + (["attn"] if ds in attention_ds else [])
+            yield f"input_blocks_{idx}", f"input_blocks.{idx}", kinds
+            idx += 1
+        if level != len(channel_mult) - 1:
+            yield f"input_blocks_{idx}", f"input_blocks.{idx}", ["down"]
+            idx += 1
+            ds *= 2
+
+    yield "middle_blocks", "middle_block", ["res", "attn", "res"]
+
+    idx = 0
+    for level in range(len(channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            kinds = ["res"]
+            if ds in attention_ds:
+                kinds.append("attn")
+            if level and i == cfg.num_res_blocks:
+                kinds.append("up")
+                ds //= 2
+            yield f"output_blocks_{idx}", f"output_blocks.{idx}", kinds
+            idx += 1
+
+
 def port_torch_state_dict(cfg, sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Build flax variables {params, batch_stats} from a reference state_dict.
 
@@ -167,56 +208,21 @@ def port_torch_state_dict(cfg, sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
             "t_cond": mlp("causal_flow.t_cond"),
         }
 
-    # --- UNet stacks: re-derive the block layout (must mirror setup()) --- #
-    def port_seq(flax_prefix, torch_prefix, kinds, out):
+    # --- UNet stacks: shared topology walk (see `_unet_walk`) --- #
+    for flax_prefix, torch_prefix, kinds in _unet_walk(cfg):
         for j, kind in enumerate(kinds):
             tp = f"{torch_prefix}.{j}"
             if kind == "conv":
-                out[f"{flax_prefix}_{j}"] = {"Conv_0": _conv2d(sd, tp)}
-            elif kind.startswith("res"):
+                params[f"{flax_prefix}_{j}"] = {"Conv_0": _conv2d(sd, tp)}
+            elif kind == "res":
                 has_skip = f"{tp}.skip_connection.weight" in sd
-                out[f"{flax_prefix}_{j}"] = _resblock(sd, tp, has_skip)
+                params[f"{flax_prefix}_{j}"] = _resblock(sd, tp, has_skip)
             elif kind == "attn":
-                out[f"{flax_prefix}_{j}"] = _attention(sd, tp)
+                params[f"{flax_prefix}_{j}"] = _attention(sd, tp)
             elif kind == "down":
-                out[f"{flax_prefix}_{j}"] = {"Conv3x3_0": {"Conv_0": _conv2d(sd, f"{tp}.op")}}
+                params[f"{flax_prefix}_{j}"] = {"Conv3x3_0": {"Conv_0": _conv2d(sd, f"{tp}.op")}}
             elif kind == "up":
-                out[f"{flax_prefix}_{j}"] = {"Conv3x3_0": {"Conv_0": _conv2d(sd, f"{tp}.conv")}}
-
-    attention_ds = cfg.attention_ds
-    channel_mult = cfg.channel_mult
-
-    # input blocks
-    port_seq("input_blocks_0", "input_blocks.0", ["conv"], params)
-    idx = 1
-    ds = 1
-    for level, mult in enumerate(channel_mult):
-        for _ in range(cfg.num_res_blocks):
-            kinds = ["res"] + (["attn"] if ds in attention_ds else [])
-            port_seq(f"input_blocks_{idx}", f"input_blocks.{idx}", kinds, params)
-            idx += 1
-        if level != len(channel_mult) - 1:
-            port_seq(f"input_blocks_{idx}", f"input_blocks.{idx}", ["down"], params)
-            idx += 1
-            ds *= 2
-
-    # middle: flax names are flat middle_blocks_{j}
-    mid = {}
-    port_seq("middle_blocks", "middle_block", ["res", "attn", "res"], mid)
-    params.update(mid)
-
-    # output blocks
-    idx = 0
-    for level, mult in list(enumerate(channel_mult))[::-1]:
-        for i in range(cfg.num_res_blocks + 1):
-            kinds = ["res"]
-            if ds in attention_ds:
-                kinds.append("attn")
-            if level and i == cfg.num_res_blocks:
-                kinds.append("up")
-                ds //= 2
-            port_seq(f"output_blocks_{idx}", f"output_blocks.{idx}", kinds, params)
-            idx += 1
+                params[f"{flax_prefix}_{j}"] = {"Conv3x3_0": {"Conv_0": _conv2d(sd, f"{tp}.conv")}}
 
     params["out_norm"] = _norm(sd, "out.0")
     params["out_conv"] = {"Conv_0": _conv2d(sd, "out.2")}
@@ -348,14 +354,14 @@ def export_torch_state_dict(cfg, variables: Mapping[str, Any]) -> Dict[str, np.n
             for j, dense in ((0, "Dense_0"), (2, "Dense_1"), (4, "Dense_2")):
                 _ex_linear(sd, f"causal_flow.{name}.{j}", mlp[dense])
 
-    # --- UNet stacks: the same layout walk as port_torch_state_dict --- #
-    def export_seq(flax_prefix, torch_prefix, kinds):
+    # --- UNet stacks: the SAME shared topology walk as the import --- #
+    for flax_prefix, torch_prefix, kinds in _unet_walk(cfg):
         for j, kind in enumerate(kinds):
             tp = f"{torch_prefix}.{j}"
             p = params[f"{flax_prefix}_{j}"]
             if kind == "conv":
                 _ex_conv2d(sd, tp, p["Conv_0"])
-            elif kind.startswith("res"):
+            elif kind == "res":
                 _ex_resblock(sd, tp, p)
             elif kind == "attn":
                 _ex_attention(sd, tp, p)
@@ -363,36 +369,6 @@ def export_torch_state_dict(cfg, variables: Mapping[str, Any]) -> Dict[str, np.n
                 _ex_conv2d(sd, f"{tp}.op", p["Conv3x3_0"]["Conv_0"])
             elif kind == "up":
                 _ex_conv2d(sd, f"{tp}.conv", p["Conv3x3_0"]["Conv_0"])
-
-    attention_ds = cfg.attention_ds
-    channel_mult = cfg.channel_mult
-
-    export_seq("input_blocks_0", "input_blocks.0", ["conv"])
-    idx = 1
-    ds = 1
-    for level, mult in enumerate(channel_mult):
-        for _ in range(cfg.num_res_blocks):
-            kinds = ["res"] + (["attn"] if ds in attention_ds else [])
-            export_seq(f"input_blocks_{idx}", f"input_blocks.{idx}", kinds)
-            idx += 1
-        if level != len(channel_mult) - 1:
-            export_seq(f"input_blocks_{idx}", f"input_blocks.{idx}", ["down"])
-            idx += 1
-            ds *= 2
-
-    export_seq("middle_blocks", "middle_block", ["res", "attn", "res"])
-
-    idx = 0
-    for level, mult in list(enumerate(channel_mult))[::-1]:
-        for i in range(cfg.num_res_blocks + 1):
-            kinds = ["res"]
-            if ds in attention_ds:
-                kinds.append("attn")
-            if level and i == cfg.num_res_blocks:
-                kinds.append("up")
-                ds //= 2
-            export_seq(f"output_blocks_{idx}", f"output_blocks.{idx}", kinds)
-            idx += 1
 
     _ex_norm(sd, "out.0", params["out_norm"])
     _ex_conv2d(sd, "out.2", params["out_conv"]["Conv_0"])

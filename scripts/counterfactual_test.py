@@ -163,8 +163,7 @@ def main():
         mean_across_hosts, sync_across_hosts,
     )
     from causaldiffae_tpu.models.unet import CausalUNet
-    from causaldiffae_tpu.training import create_train_state, make_optimizer
-    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.training import eval_params, restore_eval_state
     from causaldiffae_tpu.utils import logger
 
     logger.configure()
@@ -195,14 +194,11 @@ def main():
         test_pool = loaders[dataset]("test")
 
     # --- restore model variables ---
-    tx = make_optimizer(cfg)
     first = {k: jnp.asarray(v[: args.batch_size]) for k, v in test_pool.items()}
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
+    state = restore_eval_state(cfg, model, args.ckpt_dir, template_batch=first)
     if args.ckpt_dir:
-        ckpt = CheckpointManager(args.ckpt_dir)
-        state = ckpt.restore(state)
         logger.log(f"restored step {int(state.step)} from {args.ckpt_dir}")
-    params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
+    params = eval_params(state, cfg, use_ema=args.use_ema)
     variables = {"params": params, "batch_stats": state.batch_stats}
     # state is built/restored on host; run eval on the accelerator(s).
     # Single-process multi-chip hosts get the chains data-parallel;

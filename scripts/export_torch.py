@@ -28,12 +28,9 @@ def main():
     args = parser.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from causaldiffae_tpu.config import create_model, get_config
-    from causaldiffae_tpu.data import synthetic_dataset
-    from causaldiffae_tpu.training import create_train_state, make_optimizer
-    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.training import eval_params, restore_eval_state
     from causaldiffae_tpu.utils import logger
     from causaldiffae_tpu.utils.torch_port import save_torch_checkpoint
 
@@ -41,16 +38,12 @@ def main():
     logger.configure()
     model = create_model(cfg)
 
-    # template state on host, then restore (same pattern as the eval CLIs)
-    pool = synthetic_dataset(cfg.dataset, cfg.batch_size, seed=cfg.seed)
-    first = {k: jnp.asarray(v) for k, v in pool.items()}
-    state = create_train_state(cfg, model, make_optimizer(cfg),
-                               jax.random.PRNGKey(cfg.seed), first)
-    state = CheckpointManager(args.ckpt_dir).restore(state)
+    # 1-row template state on host, then restore (shapes don't depend on B)
+    state = restore_eval_state(cfg, model, args.ckpt_dir)
     logger.log(f"restored step {int(state.step)} from {args.ckpt_dir}")
 
-    params = (state.ema_params.get(str(cfg.ema_rate), state.params)
-              if args.use_ema else state.params)
+    # eval_params errors on a missing EMA key (never a silent raw fallback)
+    params = eval_params(state, cfg, use_ema=args.use_ema)
     variables = {"params": jax.device_get(params),
                  "batch_stats": jax.device_get(state.batch_stats)}
     save_torch_checkpoint(cfg, variables, args.out)

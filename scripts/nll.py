@@ -39,8 +39,7 @@ def main():
     from causaldiffae_tpu.data import load_data, synthetic_dataset
     from causaldiffae_tpu.diffusion import calc_bpd_loop
     from causaldiffae_tpu.models.unet import CausalUNet
-    from causaldiffae_tpu.training import create_train_state, make_optimizer
-    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.training import restore_eval_state
     from causaldiffae_tpu.utils import logger
 
     logger.configure()
@@ -64,10 +63,7 @@ def main():
     pool = _shard(pool, shard_i, num_shards)
 
     first = {k: jnp.asarray(v[: args.batch_size]) for k, v in pool.items()}
-    tx = make_optimizer(cfg)
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
-    if args.ckpt_dir:
-        state = CheckpointManager(args.ckpt_dir).restore(state)
+    state = restore_eval_state(cfg, model, args.ckpt_dir, template_batch=first)
     from causaldiffae_tpu.parallel import eval_placement
 
     # single-process multi-chip: data-parallel bpd sweeps; multi-process

@@ -36,10 +36,8 @@ def main():
     import jax.numpy as jnp
 
     from causaldiffae_tpu.config import create_diffusion, create_model, get_config
-    from causaldiffae_tpu.data import synthetic_dataset
     from causaldiffae_tpu.evals import make_prior_sample_fn
-    from causaldiffae_tpu.training import create_train_state, make_optimizer
-    from causaldiffae_tpu.training.checkpoint import CheckpointManager
+    from causaldiffae_tpu.training import eval_params, restore_eval_state
     from causaldiffae_tpu.utils import logger
     from counterfactual_test import save_grid
 
@@ -48,14 +46,10 @@ def main():
     model = create_model(cfg)
     diffusion = create_diffusion(cfg, eval_mode=True)
 
-    pool = synthetic_dataset(cfg.dataset, args.batch_size, seed=1)
-    first = {k: jnp.asarray(v) for k, v in pool.items()}
-    tx = make_optimizer(cfg)
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.seed), first)
+    state = restore_eval_state(cfg, model, args.ckpt_dir)
     if args.ckpt_dir:
-        state = CheckpointManager(args.ckpt_dir).restore(state)
         logger.log(f"restored step {int(state.step)}")
-    params = state.ema_params.get(str(cfg.ema_rate), state.params) if args.use_ema else state.params
+    params = eval_params(state, cfg, use_ema=args.use_ema)
     variables = {"params": params, "batch_stats": state.batch_stats}
 
     from jax.sharding import NamedSharding, PartitionSpec as P

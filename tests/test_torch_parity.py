@@ -325,8 +325,8 @@ def test_export_loads_into_reference_model(torch_model, flax_setup, tmp_path):
     save_torch_checkpoint(CFG, variables, str(path))
 
     sd = torch.load(path, map_location="cpu")
-    missing, unexpected = torch_model.load_state_dict(sd, strict=True), None
-    assert not missing.missing_keys and not missing.unexpected_keys
+    # strict=True raises on any key mismatch; reaching the next line IS the assertion
+    torch_model.load_state_dict(sd, strict=True)
 
     reimported = load_torch_checkpoint(CFG, str(path))
     jax.tree_util.tree_map(

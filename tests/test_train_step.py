@@ -233,3 +233,25 @@ def test_2d_mesh_data_model_axes():
     new_state, metrics = jax.jit(step_fn)(state, shard_batch(mesh, batch))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_eval_params_strict_ema_resolution():
+    """eval_params returns raw params by default, the FIRST configured
+    rate's EMA tree under use_ema, and ERRORS on a missing key instead of
+    silently falling back to raw params (the old `.get(str(cfg.ema_rate),
+    params)` pattern mislabeled exports for comma-separated ema_rate)."""
+    from causaldiffae_tpu.training import eval_params
+
+    cfg = tiny_cfg(ema_rate="0.9999,0.99")
+    _, _, state, _, _ = setup(cfg)
+    assert set(state.ema_params) == {"0.9999", "0.99"}
+
+    assert eval_params(state, cfg) is state.params
+    assert eval_params(state, cfg, use_ema=True) is state.ema_params["0.9999"]
+
+    # a state whose EMA keys don't match the config must fail loudly
+    broken = state.replace(ema_params={"0.5": state.params})
+    with pytest.raises(KeyError):
+        eval_params(broken, cfg, use_ema=True)
+    with pytest.raises(ValueError):
+        eval_params(state, cfg.replace(ema_rate=""), use_ema=True)
