@@ -77,9 +77,19 @@ class AttentionBlock(nn.Module):
         # the 16MB scoped-VMEM limit at T=784, and XLA's einsum path
         # handles fp32 fine (spilling to HBM), so fp32 routes there.
         if self.use_pallas and qkv.dtype == jnp.bfloat16:
-            from ..ops.attention_pallas import fused_qkv_attention
+            import os
 
-            h = fused_qkv_attention(qkv, self.num_heads)
+            from ..ops.attention_pallas import (fused_qkv_attention,
+                                                fused_qkv_attention_t)
+
+            # CDAE_ATTN_FULL_LANE=1 routes to the full-lane-orientation
+            # kernel variant for whole-step A/B measurement (bench_ops.py
+            # covers the kernel in isolation); default stays with the
+            # measured winner.
+            if os.environ.get("CDAE_ATTN_FULL_LANE") == "1":
+                h = fused_qkv_attention_t(qkv, self.num_heads)
+            else:
+                h = fused_qkv_attention(qkv, self.num_heads)
         else:
             h = qkv_attention(qkv, self.num_heads)
         h = DenseT(C, zero_init=True, dtype=self.dtype)(h)

@@ -39,7 +39,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["fused_qkv_attention"]
+__all__ = ["fused_qkv_attention", "fused_qkv_attention_t"]
 
 
 def _default_interpret() -> bool:
@@ -183,6 +183,149 @@ def _backward(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool)
         out_specs=pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
         interpret=interpret,
     )(qkv, g)
+
+
+# ---------------- full-lane ("transposed orientation") variant ------------ #
+#
+# The d=32 head layout caps any matmul whose CONTRACTION dim (MXU depth,
+# 128) or OUTPUT dim (MXU lanes, 128) is d at 25% utilization. QK^T's
+# contraction IS d — unavoidable. But every other matmul in the pass can be
+# re-oriented so both its contraction and its output lanes are T-sized:
+#
+#   forward   s_t[T,cq] = k  @ q_c^T    (capped: contraction d — same as before)
+#             o_t[d,cq] = v^T @ p_t      (contraction T, lanes cq: FULL MXU;
+#                                         the old p @ v had 32 output lanes)
+#   backward  dv_t[d,T] = g_c^T @ p      (FULL; old p^T @ g had 32 lanes)
+#             dq_t[d,cq] = k^T @ ds^T    (FULL; old ds @ k had 32 lanes)
+#             dk_t[d,T] = q_c^T @ ds     (FULL; old ds^T @ q had 32 lanes)
+#
+# Every dot above is layout-natural for the MXU (LHS contraction on lanes,
+# RHS contraction on sublanes), so Mosaic inserts no [T,T] relayouts; the
+# price is small [d,cq] operand/result transposes plus ONE [cq,T] bf16
+# transpose per backward chunk (ds^T). Whether that price beats the 4x lane
+# waste is an empirical question — this variant exists to be measured
+# against the head-major kernel on real hardware (bench_ops.py); routing
+# stays with the measured winner.
+
+
+def _attn_kernel_t(qkv_ref, o_ref, *, num_heads: int):
+    """Full-lane forward: scores in [k-index, q-index] orientation."""
+    qkv = qkv_ref[0]                       # [T, 3C]
+    T = qkv.shape[0]
+    d = qkv.shape[-1] // (3 * num_heads)
+    dt = qkv.dtype
+    scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
+    cq = _q_chunk(T, qkv.dtype.itemsize, backward=False)
+    for h in range(num_heads):
+        base = h * 3 * d
+        q = qkv[:, base:base + d] * scale
+        k = qkv[:, base + d:base + 2 * d] * scale
+        v_t = qkv[:, base + 2 * d:base + 3 * d].T      # [d, T], hoisted
+        for i in range(0, T, cq):
+            q_t = q[i:i + cq].T                        # [d, cq] small transpose
+            # s_t = (q_c k^T)^T: contraction d (the unavoidable capped one)
+            s_t = jnp.dot(k, q_t, preferred_element_type=jnp.float32)  # [T, cq]
+            p_t = jax.nn.softmax(s_t, axis=0)          # softmax over k-index
+            # o_t = (p v)^T: contraction T, output lanes cq — full MXU
+            o_t = jnp.dot(v_t, p_t.astype(dt), preferred_element_type=jnp.float32)
+            o_ref[0, i:i + cq, h * d:(h + 1) * d] = o_t.T.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
+    """Full-lane flash backward: dq/dk/dv all produced in [d, ·] orientation.
+
+    Same recompute structure as `_attn_bwd_kernel`; the three output
+    matmuls run with T-sized contraction AND T-sized lanes at the cost of
+    one [cq, T] bf16 transpose (ds^T) per chunk plus small [d, cq] ones.
+    """
+    qkv = qkv_ref[0]                       # [T, 3C]
+    g_all = g_ref[0]                       # [T, C]
+    T = qkv.shape[0]
+    d = qkv.shape[-1] // (3 * num_heads)
+    dt = qkv.dtype
+    scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
+    cq = _q_chunk(T, qkv.dtype.itemsize, backward=True)
+    for h in range(num_heads):
+        base = h * 3 * d
+        q = qkv[:, base:base + d] * scale
+        k_t = (qkv[:, base + d:base + 2 * d] * scale).T  # [d, T], hoisted
+        v_t = qkv[:, base + 2 * d:base + 3 * d].T        # [d, T], hoisted
+        dk_t = jnp.zeros((d, T), dtype=jnp.float32)
+        dv_t = jnp.zeros((d, T), dtype=jnp.float32)
+        for i in range(0, T, cq):
+            qc = q[i:i + cq]
+            gc = g_all[i:i + cq, h * d:(h + 1) * d]
+            s = jnp.dot(qc, k_t, preferred_element_type=jnp.float32)   # capped
+            p = jax.nn.softmax(s, axis=-1)
+            dp = jnp.dot(gc, v_t, preferred_element_type=jnp.float32)  # capped
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            p_lp = p.astype(dt)
+            ds_lp = ds.astype(dt)
+            ds_t = ds_lp.T                                 # [T, cq] transpose
+            # dq^T = k^T ds^T — contraction T, lanes cq: full MXU
+            dq_t = jnp.dot(k_t, ds_t, preferred_element_type=jnp.float32)
+            dqkv_ref[0, i:i + cq, base:base + d] = (
+                dq_t.T * scale.astype(jnp.float32)).astype(dqkv_ref.dtype)
+            # dk^T += q_c^T ds, dv^T += g_c^T p — contraction cq, lanes T
+            dk_t = dk_t + jnp.dot(qc.T, ds_lp, preferred_element_type=jnp.float32)
+            dv_t = dv_t + jnp.dot(gc.T, p_lp, preferred_element_type=jnp.float32)
+        dk_t = dk_t * scale.astype(jnp.float32)
+        dqkv_ref[0, :, base + d:base + 2 * d] = dk_t.T.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, base + 2 * d:base + 3 * d] = dv_t.T.astype(dqkv_ref.dtype)
+
+
+def _forward_t(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
+    B, T, threeC = qkv.shape
+    C = threeC // 3
+    mem = _VMEM if (_VMEM and not interpret) else None
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_t, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem)],
+        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
+        interpret=interpret,
+    )(qkv)
+
+
+def _backward_t(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
+    B, T, threeC = qkv.shape
+    C = threeC // 3
+    mem = _VMEM if (_VMEM and not interpret) else None
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_t, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, T, threeC), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
+        interpret=interpret,
+    )(qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_qkv_attention_t(qkv: jnp.ndarray, num_heads: int, interpret: bool = None) -> jnp.ndarray:
+    """Full-lane-orientation variant of `fused_qkv_attention` (same math)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _forward_t(qkv, num_heads, interpret)
+
+
+def _fwd_t(qkv, num_heads, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    return _forward_t(qkv, num_heads, interpret), qkv
+
+
+def _bwd_t(num_heads, interpret, qkv, g):
+    if interpret is None:
+        interpret = _default_interpret()
+    return (_backward_t(qkv, g, num_heads, interpret),)
+
+
+fused_qkv_attention_t.defvjp(_fwd_t, _bwd_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

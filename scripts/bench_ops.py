@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from causaldiffae_tpu.models.attention import qkv_attention
-    from causaldiffae_tpu.ops import fused_qkv_attention
+    from causaldiffae_tpu.ops import fused_qkv_attention, fused_qkv_attention_t
 
     print(f"device: {jax.devices()[0]}")
     # (workload, B, T, heads, head_dim)
@@ -49,16 +49,22 @@ def main():
 
         xla_f = jax.jit(lambda q: qkv_attention(q, H))
         pal_f = jax.jit(lambda q: fused_qkv_attention(q, H))
+        fl_f = jax.jit(lambda q: fused_qkv_attention_t(q, H))
         xla_b = jax.jit(jax.grad(lambda q: (qkv_attention(q, H) * g).sum().astype(jnp.float32)))
         pal_b = jax.jit(jax.grad(lambda q: (fused_qkv_attention(q, H) * g).sum().astype(jnp.float32)))
+        fl_b = jax.jit(jax.grad(lambda q: (fused_qkv_attention_t(q, H) * g).sum().astype(jnp.float32)))
 
         tf_x = timeit(xla_f, qkv) * 1e3
         tf_p = timeit(pal_f, qkv) * 1e3
+        tf_t = timeit(fl_f, qkv) * 1e3
         tb_x = timeit(xla_b, qkv) * 1e3
         tb_p = timeit(pal_b, qkv) * 1e3
+        tb_t = timeit(fl_b, qkv) * 1e3
         print(f"{name:18} B={B:3} T={T:4} H={H} d={d:3} | "
-              f"fwd xla {tf_x:7.3f}ms pallas {tf_p:7.3f}ms ({tf_x/tf_p:4.2f}x) | "
-              f"bwd xla {tb_x:7.3f}ms pallas {tb_p:7.3f}ms ({tb_x/tb_p:4.2f}x)")
+              f"fwd xla {tf_x:7.3f}ms pallas {tf_p:7.3f}ms ({tf_x/tf_p:4.2f}x) "
+              f"full-lane {tf_t:7.3f}ms ({tf_p/tf_t:4.2f}x vs pallas) | "
+              f"bwd xla {tb_x:7.3f}ms pallas {tb_p:7.3f}ms ({tb_x/tb_p:4.2f}x) "
+              f"full-lane {tb_t:7.3f}ms ({tb_p/tb_t:4.2f}x vs pallas)")
 
 
 if __name__ == "__main__":

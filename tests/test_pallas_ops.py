@@ -143,3 +143,64 @@ def test_fused_attention_chunked_path_matches(monkeypatch):
     g = jax.grad(lambda q: jnp.sum(fused_qkv_attention(q, H) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("B,T,H,d", [(2, 49, 2, 16), (1, 196, 4, 32), (2, 64, 1, 8)])
+def test_full_lane_attention_matches_reference(B, T, H, d):
+    """The full-lane-orientation variant computes identical attention."""
+    from causaldiffae_tpu.ops import fused_qkv_attention_t
+
+    C = H * d
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, T, 3 * C))
+    ref = qkv_attention(qkv, H)
+    got = fused_qkv_attention_t(qkv, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_full_lane_attention_grad_and_chunked(monkeypatch):
+    """Grad parity for the full-lane variant, unchunked and with forced
+    query chunking (exercises the per-chunk ds^T path and the cross-chunk
+    transposed dk/dv accumulators)."""
+    import causaldiffae_tpu.ops.attention_pallas as ap
+    from causaldiffae_tpu.ops import fused_qkv_attention_t
+
+    B, T, H, d = 2, 64, 2, 16
+    C = H * d
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (B, T, 3 * C))
+    ref = qkv_attention(qkv, H)
+    g_ref = jax.grad(lambda q: jnp.sum(qkv_attention(q, H) ** 2))(qkv)
+
+    g1 = jax.grad(lambda q: jnp.sum(fused_qkv_attention_t(q, H) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
+
+    monkeypatch.setattr(ap, "_q_chunk", lambda T, itemsize, backward: 16)
+    got = fused_qkv_attention_t(qkv, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    g2 = jax.grad(lambda q: jnp.sum(fused_qkv_attention_t(q, H) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
+
+
+def test_full_lane_env_routing(monkeypatch):
+    """CDAE_ATTN_FULL_LANE=1 routes AttentionBlock's bf16 pass through the
+    full-lane kernel variant."""
+    import causaldiffae_tpu.ops.attention_pallas as ap
+    from causaldiffae_tpu.models.attention import AttentionBlock
+
+    calls = {"t": 0}
+    real = ap.fused_qkv_attention_t
+
+    def counting(qkv, h, interpret=None):
+        calls["t"] += 1
+        return real(qkv, h, interpret)
+
+    monkeypatch.setattr(
+        "causaldiffae_tpu.ops.attention_pallas.fused_qkv_attention_t", counting)
+    monkeypatch.setenv("CDAE_ATTN_FULL_LANE", "1")
+
+    block = AttentionBlock(channels=32, num_heads=2, use_pallas=True,
+                           dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 7, 32), dtype=jnp.bfloat16)
+    variables = block.init({"params": jax.random.PRNGKey(1)}, x)
+    before = calls["t"]  # init traces the block once too
+    block.apply(variables, x)
+    assert calls["t"] == before + 1
