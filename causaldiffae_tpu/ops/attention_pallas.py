@@ -231,12 +231,17 @@ def _attn_kernel_t(qkv_ref, o_ref, *, num_heads: int):
             o_ref[0, i:i + cq, h * d:(h + 1) * d] = o_t.T.astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
+def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
+                       dq_full_lane: bool = True):
     """Full-lane flash backward: dq/dk/dv all produced in [d, ·] orientation.
 
     Same recompute structure as `_attn_bwd_kernel`; the three output
     matmuls run with T-sized contraction AND T-sized lanes at the cost of
     one [cq, T] bf16 transpose (ds^T) per chunk plus small [d, cq] ones.
+    ``dq_full_lane=False`` skips the big ds^T transpose and computes dq in
+    the lane-capped orientation instead — whether the transpose beats the
+    4x lane waste is hardware-empirical, so both flavors are measurable
+    (env ``CDAE_ATTN_FL_BWD=capped_dq`` selects the latter).
     """
     qkv = qkv_ref[0]                       # [T, 3C]
     g_all = g_ref[0]                       # [T, C]
@@ -248,7 +253,8 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
     for h in range(num_heads):
         base = h * 3 * d
         q = qkv[:, base:base + d] * scale
-        k_t = (qkv[:, base + d:base + 2 * d] * scale).T  # [d, T], hoisted
+        k = qkv[:, base + d:base + 2 * d] * scale
+        k_t = k.T                                        # [d, T], hoisted
         v_t = qkv[:, base + 2 * d:base + 3 * d].T        # [d, T], hoisted
         dk_t = jnp.zeros((d, T), dtype=jnp.float32)
         dv_t = jnp.zeros((d, T), dtype=jnp.float32)
@@ -261,11 +267,16 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             p_lp = p.astype(dt)
             ds_lp = ds.astype(dt)
-            ds_t = ds_lp.T                                 # [T, cq] transpose
-            # dq^T = k^T ds^T — contraction T, lanes cq: full MXU
-            dq_t = jnp.dot(k_t, ds_t, preferred_element_type=jnp.float32)
+            if dq_full_lane:
+                # dq^T = k^T ds^T — contraction T, lanes cq: full MXU
+                # (costs a [cq, T] bf16 transpose of ds)
+                dq_t = jnp.dot(k_t, ds_lp.T, preferred_element_type=jnp.float32)
+                dq = dq_t.T
+            else:
+                # lane-capped dq (32 output lanes), but no big transpose
+                dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32)
             dqkv_ref[0, i:i + cq, base:base + d] = (
-                dq_t.T * scale.astype(jnp.float32)).astype(dqkv_ref.dtype)
+                dq * scale.astype(jnp.float32)).astype(dqkv_ref.dtype)
             # dk^T += q_c^T ds, dv^T += g_c^T p — contraction cq, lanes T
             dk_t = dk_t + jnp.dot(qc.T, ds_lp, preferred_element_type=jnp.float32)
             dv_t = dv_t + jnp.dot(gc.T, p_lp, preferred_element_type=jnp.float32)
@@ -289,11 +300,15 @@ def _forward_t(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray
 
 
 def _backward_t(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
+    import os
+
     B, T, threeC = qkv.shape
     C = threeC // 3
     mem = _VMEM if (_VMEM and not interpret) else None
+    dq_full_lane = os.environ.get("CDAE_ATTN_FL_BWD") != "capped_dq"
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_t, num_heads=num_heads),
+        functools.partial(_attn_bwd_kernel_t, num_heads=num_heads,
+                          dq_full_lane=dq_full_lane),
         out_shape=jax.ShapeDtypeStruct((B, T, threeC), qkv.dtype),
         grid=(B,),
         in_specs=[

@@ -179,6 +179,11 @@ def test_full_lane_attention_grad_and_chunked(monkeypatch):
     g2 = jax.grad(lambda q: jnp.sum(fused_qkv_attention_t(q, H) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
 
+    # the no-big-transpose backward flavor (lane-capped dq) — same grads
+    monkeypatch.setenv("CDAE_ATTN_FL_BWD", "capped_dq")
+    g3 = jax.grad(lambda q: jnp.sum(fused_qkv_attention_t(q, H) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
+
 
 def test_full_lane_env_routing(monkeypatch):
     """CDAE_ATTN_FULL_LANE=1 routes AttentionBlock's bf16 pass through the
