@@ -9,4 +9,4 @@ for TPU (bf16 MXU compute, lax.scan samplers, mesh data parallelism,
 Pallas fused kernels).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml [project] version

@@ -244,7 +244,7 @@ def make_data_iterator(data: Dict[str, np.ndarray], batch_size: int, seed: int =
                        threads: int = 4) -> Iterator[Dict[str, np.ndarray]]:
     """Batch iterator with automatic native-C++ prefetch routing.
 
-    When the native loader is built (`native/fastloader.cpp`) and the image
+    When the native loader is built (`causaldiffae_tpu/native/fastloader.cpp`) and the image
     pool sits on an 8-bit grid, batches are assembled + normalized on C++
     worker threads with one batch always prefetched (uint8 pool = 4x less
     host RAM, no GIL in the feed path). Falls back to the numpy

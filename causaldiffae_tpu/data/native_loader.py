@@ -1,7 +1,8 @@
 """ctypes bindings for the native C++ data-pipeline core.
 
-Builds `native/fastloader.cpp` on first use (g++ -O3 -shared, cached under
-native/build/) and exposes:
+Builds the packaged `causaldiffae_tpu/native/fastloader.cpp` on first use
+(g++ -O3 -shared, cached next to the source, or under
+~/.cache/causaldiffae_tpu when the install dir is read-only) and exposes:
 
 - `gunzip_file` - zlib whole-file decompression (IDX archives)
 - `gather_normalize` - multithreaded batch gather with fused
@@ -27,21 +28,34 @@ import numpy as np
 
 __all__ = ["native_available", "gunzip_file", "gather_normalize", "NativeBatchIterator"]
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_BUILD_DIR = _NATIVE_DIR / "build"
+# The C++ source ships inside the wheel (pyproject package-data), so
+# non-editable installs keep the native path too.
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB = None
 _LIB_ERR = None
+
+
+def _build_dir() -> Path:
+    """Build cache next to the source, or ~/.cache when that's read-only
+    (site-packages installs on locked-down hosts)."""
+    primary = _NATIVE_DIR / "build"
+    try:
+        primary.mkdir(parents=True, exist_ok=True)
+        return primary
+    except OSError:
+        alt = Path.home() / ".cache" / "causaldiffae_tpu" / "native-build"
+        alt.mkdir(parents=True, exist_ok=True)
+        return alt
 
 
 def _build_and_load():
     global _LIB, _LIB_ERR
     if _LIB is not None or _LIB_ERR is not None:
         return _LIB
-    so = _BUILD_DIR / "libfastloader.so"
     src = _NATIVE_DIR / "fastloader.cpp"
     try:
+        so = _build_dir() / "libfastloader.so"
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-            _BUILD_DIR.mkdir(parents=True, exist_ok=True)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  "-o", str(so), str(src), "-lz", "-lpthread"],

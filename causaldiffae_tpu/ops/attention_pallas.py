@@ -52,18 +52,22 @@ def _default_interpret() -> bool:
         return True
 
 
-def _q_chunk(T: int, itemsize: int, backward: bool) -> int:
+def _q_chunk(T: int, itemsize: int, backward: bool, extra_lp: int = 0) -> int:
     """Query-chunk size: whole T when the scratch fits VMEM, else the
     largest divisor chunk that does.
 
     Live [cq, T] scratch per head iteration: forward ~2 fp32 (scores,
     softmax) + 1 input-dtype array; backward ~4 fp32 (s, p, dp, ds) + 2
-    input-dtype casts. Unchunked T=784 fits in bf16 (~12MB, measured
-    working) but overflows v5e VMEM in fp32 (~15MB) - chunking is engaged
-    only under that pressure because the smaller matmuls cost ~15% step
-    time when it isn't needed (82 vs 68 ms/step measured).
+    input-dtype casts. ``extra_lp`` counts additional [cq, T] input-dtype
+    buffers a kernel variant materializes (the full-lane backward's ds^T
+    transpose) so its chunking engages before the scoped-VMEM limit, not
+    after. Unchunked T=784 fits in bf16 (~12MB, measured working) but
+    overflows v5e VMEM in fp32 (~15MB) - chunking is engaged only under
+    that pressure because the smaller matmuls cost ~15% step time when it
+    isn't needed (82 vs 68 ms/step measured).
     """
     per_row = T * ((4 * 4 + 2 * itemsize) if backward else (2 * 4 + itemsize))
+    per_row += T * extra_lp * itemsize
     budget = 13 * 1024 * 1024
     if T * per_row <= budget:
         return T
@@ -104,18 +108,29 @@ def _attn_kernel(qkv_ref, o_ref, *, num_heads: int):
             o_ref[0, i:i + cq, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
-def _forward(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
-    B, T, threeC = qkv.shape
-    C = threeC // 3
+def _attn_call(kernel, out_lastdim: int, interpret: bool, qkv, *extra):
+    """Shared pallas_call scaffolding: batch-only grid, whole-[T, lanes]
+    blocks in VMEM, output dtype = input dtype. Used by both kernel
+    orientations' forward and backward, so BlockSpec/memory-space handling
+    cannot drift between them."""
+    B, T, _ = qkv.shape
     mem = _VMEM if (_VMEM and not interpret) else None
+    operands = (qkv,) + extra
     return pl.pallas_call(
-        functools.partial(_attn_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, out_lastdim), qkv.dtype),
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem)],
-        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
+        in_specs=[pl.BlockSpec((1, T, a.shape[-1]), lambda b: (b, 0, 0),
+                               memory_space=mem) for a in operands],
+        out_specs=pl.BlockSpec((1, T, out_lastdim), lambda b: (b, 0, 0),
+                               memory_space=mem),
         interpret=interpret,
-    )(qkv)
+    )(*operands)
+
+
+def _forward(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
+    return _attn_call(functools.partial(_attn_kernel, num_heads=num_heads),
+                      qkv.shape[-1] // 3, interpret, qkv)
 
 
 def _reference(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -169,20 +184,8 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
 
 
 def _backward(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
-    B, T, threeC = qkv.shape
-    C = threeC // 3
-    mem = _VMEM if (_VMEM and not interpret) else None
-    return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((B, T, threeC), qkv.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
-        ],
-        out_specs=pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
-        interpret=interpret,
-    )(qkv, g)
+    return _attn_call(functools.partial(_attn_bwd_kernel, num_heads=num_heads),
+                      qkv.shape[-1], interpret, qkv, g)
 
 
 # ---------------- full-lane ("transposed orientation") variant ------------ #
@@ -241,7 +244,11 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
     ``dq_full_lane=False`` skips the big ds^T transpose and computes dq in
     the lane-capped orientation instead — whether the transpose beats the
     4x lane waste is hardware-empirical, so both flavors are measurable
-    (env ``CDAE_ATTN_FL_BWD=capped_dq`` selects the latter).
+    (env ``CDAE_ATTN_FL_BWD=capped_dq`` selects the latter). NOTE: the env
+    var is read at TRACE time, so flipping it inside one process after a
+    jitted caller has compiled is silently ignored by the jit cache —
+    measure each flavor in its own process (as scripts/bench_ops.py and
+    the bench harness do).
     """
     qkv = qkv_ref[0]                       # [T, 3C]
     g_all = g_ref[0]                       # [T, C]
@@ -249,7 +256,10 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
     d = qkv.shape[-1] // (3 * num_heads)
     dt = qkv.dtype
     scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dtype=dt)
-    cq = _q_chunk(T, qkv.dtype.itemsize, backward=True)
+    # the dq_full_lane flavor materializes one extra [cq, T] bf16 buffer
+    # (ds^T) on top of what the shared budget formula counts
+    cq = _q_chunk(T, qkv.dtype.itemsize, backward=True,
+                  extra_lp=1 if dq_full_lane else 0)
     for h in range(num_heads):
         base = h * 3 * d
         q = qkv[:, base:base + d] * scale
@@ -286,38 +296,36 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
 
 
 def _forward_t(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
-    B, T, threeC = qkv.shape
-    C = threeC // 3
-    mem = _VMEM if (_VMEM and not interpret) else None
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_t, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem)],
-        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
-        interpret=interpret,
-    )(qkv)
+    return _attn_call(functools.partial(_attn_kernel_t, num_heads=num_heads),
+                      qkv.shape[-1] // 3, interpret, qkv)
 
 
 def _backward_t(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
     import os
 
-    B, T, threeC = qkv.shape
-    C = threeC // 3
-    mem = _VMEM if (_VMEM and not interpret) else None
+    # trace-time read: measure each flavor in its own process (see the
+    # kernel docstring)
     dq_full_lane = os.environ.get("CDAE_ATTN_FL_BWD") != "capped_dq"
-    return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_t, num_heads=num_heads,
-                          dq_full_lane=dq_full_lane),
-        out_shape=jax.ShapeDtypeStruct((B, T, threeC), qkv.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=mem),
-        ],
-        out_specs=pl.BlockSpec((1, T, threeC), lambda b: (b, 0, 0), memory_space=mem),
-        interpret=interpret,
-    )(qkv, g)
+    return _attn_call(functools.partial(_attn_bwd_kernel_t, num_heads=num_heads,
+                                        dq_full_lane=dq_full_lane),
+                      qkv.shape[-1], interpret, qkv, g)
+
+
+def _define_attention_vjp(f, forward_fn, backward_fn):
+    """Wire the shared (resolve interpret -> forward/backward) custom-VJP
+    shims; keeps the two kernel orientations' plumbing identical."""
+
+    def fwd(qkv, num_heads, interpret):
+        if interpret is None:
+            interpret = _default_interpret()
+        return forward_fn(qkv, num_heads, interpret), qkv
+
+    def bwd(num_heads, interpret, qkv, g):
+        if interpret is None:
+            interpret = _default_interpret()
+        return (backward_fn(qkv, g, num_heads, interpret),)
+
+    f.defvjp(fwd, bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -328,19 +336,7 @@ def fused_qkv_attention_t(qkv: jnp.ndarray, num_heads: int, interpret: bool = No
     return _forward_t(qkv, num_heads, interpret)
 
 
-def _fwd_t(qkv, num_heads, interpret):
-    if interpret is None:
-        interpret = _default_interpret()
-    return _forward_t(qkv, num_heads, interpret), qkv
-
-
-def _bwd_t(num_heads, interpret, qkv, g):
-    if interpret is None:
-        interpret = _default_interpret()
-    return (_backward_t(qkv, g, num_heads, interpret),)
-
-
-fused_qkv_attention_t.defvjp(_fwd_t, _bwd_t)
+_define_attention_vjp(fused_qkv_attention_t, _forward_t, _backward_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -355,16 +351,4 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int, interpret: bool = None
     return _forward(qkv, num_heads, interpret)
 
 
-def _fwd(qkv, num_heads, interpret):
-    if interpret is None:
-        interpret = _default_interpret()
-    return _forward(qkv, num_heads, interpret), qkv
-
-
-def _bwd(num_heads, interpret, qkv, g):
-    if interpret is None:
-        interpret = _default_interpret()
-    return (_backward(qkv, g, num_heads, interpret),)
-
-
-fused_qkv_attention.defvjp(_fwd, _bwd)
+_define_attention_vjp(fused_qkv_attention, _forward, _backward)

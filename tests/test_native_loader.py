@@ -138,3 +138,18 @@ def test_synthetic_iterator_native_matches_pool():
             arr, np.rint(arr * 255) / 255.0, atol=2e-6,
             err_msg="images off the 8-bit grid",
         )
+
+
+def test_build_dir_falls_back_when_install_readonly(monkeypatch, tmp_path):
+    """A site-packages install without write access must still get a build
+    cache (under ~/.cache) instead of failing the lazy compile."""
+    from pathlib import Path
+
+    import causaldiffae_tpu.data.native_loader as nl
+
+    fake_home = tmp_path / "home"
+    monkeypatch.setenv("HOME", str(fake_home))
+    monkeypatch.setattr(nl, "_NATIVE_DIR", Path("/proc/causaldiffae_ro"))
+    out = nl._build_dir()
+    assert out == fake_home / ".cache" / "causaldiffae_tpu" / "native-build"
+    assert out.is_dir()

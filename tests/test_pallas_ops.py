@@ -136,7 +136,8 @@ def test_fused_attention_chunked_path_matches(monkeypatch):
     ref = qkv_attention(qkv, H)
     g_ref = jax.grad(lambda q: jnp.sum(qkv_attention(q, H) ** 2))(qkv)
 
-    monkeypatch.setattr(ap, "_q_chunk", lambda T, itemsize, backward: 16)
+    monkeypatch.setattr(ap, "_q_chunk",
+                        lambda T, itemsize, backward, extra_lp=0: 16)
     got = fused_qkv_attention(qkv, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
@@ -173,7 +174,8 @@ def test_full_lane_attention_grad_and_chunked(monkeypatch):
     g1 = jax.grad(lambda q: jnp.sum(fused_qkv_attention_t(q, H) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
 
-    monkeypatch.setattr(ap, "_q_chunk", lambda T, itemsize, backward: 16)
+    monkeypatch.setattr(ap, "_q_chunk",
+                        lambda T, itemsize, backward, extra_lp=0: 16)
     got = fused_qkv_attention_t(qkv, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
     g2 = jax.grad(lambda q: jnp.sum(fused_qkv_attention_t(q, H) ** 2))(qkv)
