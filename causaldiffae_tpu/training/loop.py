@@ -31,6 +31,46 @@ from .train_step import make_train_step
 __all__ = ["TrainLoop"]
 
 
+def _apply_init_variables(state, variables):
+    """Overwrite a fresh TrainState's params (and batch_stats) with externally
+    supplied flax variables — the torch-checkpoint warm-start path.
+
+    Structure mismatches raise from tree_map; shapes are checked explicitly.
+    Leaves are materialized on the same device as the initialized tree so the
+    state stays a single-device-context pytree (jit breaks on mixed ones),
+    and cast to the initialized dtype (fp32 params). EMA trees are re-seeded
+    from the new params, matching a step-0 start; Adam moments stay zero.
+    """
+    ref_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    device = next(iter(ref_leaf.devices())) if hasattr(ref_leaf, "devices") else None
+
+    def _take(ref, new):
+        if tuple(ref.shape) != tuple(np.shape(new)):
+            raise ValueError(f"init_variables shape mismatch: {np.shape(new)} "
+                             f"vs initialized {tuple(ref.shape)}")
+        return jnp.asarray(new, dtype=ref.dtype)
+
+    def _port(ref_tree, new_tree):
+        return jax.tree_util.tree_map(_take, ref_tree, new_tree)
+
+    ctx = jax.default_device(device) if device is not None else _nullcontext()
+    with ctx:
+        params = _port(state.params, variables["params"])
+        batch_stats = (_port(state.batch_stats, variables["batch_stats"])
+                       if variables.get("batch_stats") and state.batch_stats
+                       else state.batch_stats)
+        ema = {r: jax.tree_util.tree_map(jnp.copy, params) for r in state.ema_params}
+    return state.replace(params=params, batch_stats=batch_stats, ema_params=ema)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 class TrainLoop:
     def __init__(
         self,
@@ -41,6 +81,7 @@ class TrainLoop:
         ckpt_dir: Optional[str] = None,
         use_mesh: bool = True,
         resume: bool = True,
+        init_variables: Optional[Dict] = None,
     ):
         self.cfg = cfg
         self.model = model
@@ -60,6 +101,15 @@ class TrainLoop:
 
         first = {k: jnp.asarray(v) for k, v in next(data).items()}
         self.state = create_train_state(cfg, model, self.tx, jax.random.PRNGKey(cfg.seed), first)
+        if init_variables is not None:
+            # warm-start from externally supplied variables (e.g. a reference
+            # torch checkpoint via utils.torch_port.load_torch_checkpoint);
+            # applied before mesh placement so the state stays a single-
+            # device-context pytree, and before resume so an existing
+            # checkpoint in ckpt_dir still wins (logged below if it does).
+            self.state = _apply_init_variables(self.state, init_variables)
+            logger.log("initialized params from provided variables "
+                       "(EMA copies re-seeded from them)")
         if self.mesh is not None:
             # mp > 1: Megatron-sharded conv pairs + matching opt/EMA layout
             # (parallel/partition.py); mp == 1: params replicated, classic DP
@@ -71,7 +121,9 @@ class TrainLoop:
         if resume and self.ckpt is not None and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             self.resume_step = int(self.state.step)
-            logger.log(f"resumed from checkpoint at step {self.resume_step}")
+            logger.log(f"resumed from checkpoint at step {self.resume_step}"
+                       + (" (checkpoint overrides init_variables)"
+                          if init_variables is not None else ""))
 
         self.step_fn = jax.jit(make_train_step(cfg, model, diffusion, self.tx), donate_argnums=0)
         self._pending_metrics = None

@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--logdir", default=None)
     parser.add_argument("--ckpt_dir", default=None)
     parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--init_from", default=None, metavar="MODEL_PT",
+                        help="warm-start params from a reference torch "
+                             "checkpoint (model*.pt / ema_checkpoint.pt); "
+                             "an existing checkpoint in --ckpt_dir still "
+                             "wins unless --no_resume")
     # common overrides (same names as the reference flags)
     for flag, typ in [
         ("batch_size", int), ("microbatch", int), ("lr", float),
@@ -87,8 +92,14 @@ def main():
     ckpt_dir = args.ckpt_dir or os.path.join(
         logger.get_current().dir or "/tmp", "checkpoints", cfg.name
     )
+    init_variables = None
+    if args.init_from:
+        from causaldiffae_tpu.utils.torch_port import load_torch_checkpoint
+
+        logger.log(f"porting torch checkpoint {args.init_from}")
+        init_variables = load_torch_checkpoint(cfg, args.init_from)
     loop = TrainLoop(cfg, model, diffusion, data, ckpt_dir=ckpt_dir,
-                     resume=not args.no_resume)
+                     resume=not args.no_resume, init_variables=init_variables)
     loop.run_loop()
 
 

@@ -333,3 +333,48 @@ def test_export_loads_into_reference_model(torch_model, flax_setup, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         reimported, variables,
     )
+
+
+def test_trainloop_warm_start_from_torch_checkpoint(torch_model, tmp_path):
+    """The `scripts/train.py --init_from model.pt` path: TrainLoop seeded
+    with a ported reference checkpoint starts training FROM those weights
+    (params + BN stats match the port, EMA re-seeded from them) and the
+    warm-started state runs through the jitted step."""
+    from causaldiffae_tpu.config import create_diffusion, create_model as _create_model
+    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.training.loop import TrainLoop
+    from causaldiffae_tpu.utils.torch_port import load_torch_checkpoint
+
+    path = tmp_path / "model000100.pt"
+    torch.save(torch_model.state_dict(), path)
+
+    cfg = CFG.replace(batch_size=4, total_steps=1, log_interval=1,
+                      diffusion_steps=100, use_pallas=False, use_bf16=False)
+    variables = load_torch_checkpoint(cfg, str(path))
+    loop = TrainLoop(cfg, _create_model(cfg), create_diffusion(cfg),
+                     synthetic_iterator(cfg.dataset, cfg.batch_size, seed=0),
+                     ckpt_dir=None, use_mesh=False, resume=False,
+                     init_variables=variables)
+
+    jax.tree_util.tree_map(
+        lambda got, want: np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want, dtype=np.float32)),
+        loop.state.params, variables["params"])
+    for tree in loop.state.ema_params.values():
+        jax.tree_util.tree_map(
+            lambda got, want: np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want, dtype=np.float32)),
+            tree, variables["params"])
+    if variables.get("batch_stats"):
+        jax.tree_util.tree_map(
+            lambda got, want: np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want, dtype=np.float32)),
+            loop.state.batch_stats, variables["batch_stats"])
+
+    state = loop.run_loop(num_steps=1)
+    assert int(state.step) == 1
+    # the step actually moved the warm-started params
+    moved = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
+        state.params, variables["params"]))
+    assert max(moved) > 0
