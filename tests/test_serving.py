@@ -93,3 +93,34 @@ def test_prior_artifact_needs_no_x(ckpt, tmp_path):
     fn, _ = load_artifact(out)
     imgs = np.asarray(fn(jnp.zeros((2,), jnp.int32), jnp.int32(0)))
     assert imgs.shape == (2, 28, 28, 1) and np.isfinite(imgs).all()
+
+
+def test_artifact_loads_without_package(ckpt, tmp_path):
+    """The deployment claim: a fresh process that never imports
+    causaldiffae_tpu (only jax) deserializes the artifact and generates."""
+    import subprocess
+
+    out = str(tmp_path / "recon.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "2",
+              "--use_pallas", "false", "--verify", "false"])
+
+    code = f"""
+import sys
+assert not any(m.startswith("causaldiffae_tpu") for m in sys.modules)
+import jax; jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from pathlib import Path
+from jax import export as jexport
+exp = jexport.deserialize(Path({out!r}).read_bytes())
+imgs = np.asarray(jax.jit(exp.call)(
+    jnp.zeros((2, 28, 28, 1), jnp.float32), jnp.zeros((2,), jnp.int32),
+    jnp.int32(0)))
+assert imgs.shape == (2, 28, 28, 1) and np.isfinite(imgs).all()
+assert not any(m.startswith("causaldiffae_tpu") for m in sys.modules)
+print("BARE_LOAD_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900)
+    assert "BARE_LOAD_OK" in r.stdout, r.stderr[-2000:]
