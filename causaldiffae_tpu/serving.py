@@ -39,14 +39,18 @@ def export_artifact(fn: Callable, example_args: Tuple, out_path: str,
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_bytes(payload)
 
+    def _shape(aval):
+        # symbolic dims (shape-polymorphic exports) serialize as strings
+        return [d if isinstance(d, int) else str(d) for d in aval.shape]
+
     manifest = dict(manifest)
     manifest["platforms"] = list(exported.platforms)
     manifest["inputs"] = [
-        {"name": n, "shape": list(a.shape), "dtype": str(a.dtype)}
-        for n, a in zip(manifest.pop("input_names"), example_args)
+        {"name": n, "shape": _shape(a), "dtype": str(a.dtype)}
+        for n, a in zip(manifest.pop("input_names"), exported.in_avals)
     ]
     manifest["outputs"] = [
-        {"shape": list(s.shape), "dtype": str(s.dtype)}
+        {"shape": _shape(s), "dtype": str(s.dtype)}
         for s in exported.out_avals
     ]
     manifest["bytes"] = len(payload)

@@ -28,12 +28,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def build_serving_fn(cfg, model, diffusion, variables, kind, *,
                      batch_size, intervene_var=0, where="auto",
                      guidance_w=None, abduction="qsample",
-                     sampler=None, sample_steps=None, seed=0):
+                     sampler=None, sample_steps=None, seed=0,
+                     poly_batch=False):
     """(fn, example_args, input_names) for one serving program.
 
     Inputs are positional arrays: x (except prior), y/c when the config
     conditions on them, the intervention value (counterfactual only), and an
-    int32 seed that derives every RNG draw inside the chain.
+    int32 seed that derives every RNG draw inside the chain. With
+    ``poly_batch`` the batch dimension is exported symbolically — one
+    artifact serves every batch size (XLA attention path only; the prior
+    sampler has no batched input to carry the symbol, so it stays fixed).
     """
     import jax
     import jax.numpy as jnp
@@ -44,23 +48,38 @@ def build_serving_fn(cfg, model, diffusion, variables, kind, *,
         make_reconstruct_fn,
     )
 
-    B = batch_size
+    if poly_batch:
+        if kind == "prior":
+            raise ValueError("--poly_batch needs a batched input; the prior "
+                             "sampler's shape is fixed at export time")
+        from jax import export as jexport
+
+        B = jexport.symbolic_shape("b")[0]
+
+        def arr(shp, dt):
+            return jax.ShapeDtypeStruct(shp, dt)
+    else:
+        B = batch_size
+
+        def arr(shp, dt):
+            return jnp.zeros(shp, dt)
+
     shape = (B, cfg.image_size, cfg.image_size, cfg.in_channels)
     names, example = [], []
     if kind != "prior":
         names.append("x")
-        example.append(jnp.zeros(shape, jnp.float32))
+        example.append(arr(shape, jnp.float32))
     if cfg.class_cond:
         names.append("y")
-        example.append(jnp.zeros((B,), jnp.int32))
+        example.append(arr((B,), jnp.int32))
     if cfg.context_cond:
         names.append("c")
-        example.append(jnp.zeros((B, 4), jnp.float32))
+        example.append(arr((B, 4), jnp.float32))
     if kind == "counterfactual":
         names.append("value")
-        example.append(jnp.zeros((), jnp.float32))
+        example.append(arr((), jnp.float32))
     names.append("seed")
-    example.append(jnp.zeros((), jnp.int32))
+    example.append(arr((), jnp.int32))
 
     common = dict(sampler=sampler, sample_steps=sample_steps)
     if kind == "counterfactual":
@@ -103,6 +122,10 @@ def main():
                         help="dpm++ node budget (e.g. 25)")
     parser.add_argument("--batch_size", type=int, default=16,
                         help="the artifact's fixed serving batch")
+    parser.add_argument("--poly_batch", action="store_true",
+                        help="export the batch dimension symbolically: one "
+                             "artifact serves any batch size (forces the XLA "
+                             "attention path; not available for --fn prior)")
     parser.add_argument("--use_ema", action="store_true")
     parser.add_argument("--use_pallas", type=lambda s: s.lower() in
                         ("1", "true", "t", "y"), default=None,
@@ -127,6 +150,10 @@ def main():
     cfg = get_config(args.preset)
     if args.use_pallas is not None:
         cfg = cfg.replace(use_pallas=args.use_pallas)
+    if args.poly_batch and cfg.use_pallas:
+        logger.log("poly_batch: routing attention through XLA (the Pallas "
+                   "kernel's grid needs a concrete batch)")
+        cfg = cfg.replace(use_pallas=False)
     model = create_model(cfg)
     diffusion = create_diffusion(cfg, eval_mode=True)
 
@@ -139,27 +166,37 @@ def main():
         cfg, model, diffusion, variables, args.fn, batch_size=args.batch_size,
         intervene_var=args.intervene_var, where=args.where,
         guidance_w=args.guidance_w, abduction=args.abduction,
-        sampler=args.sampler, sample_steps=args.sample_steps, seed=args.seed)
+        sampler=args.sampler, sample_steps=args.sample_steps, seed=args.seed,
+        poly_batch=args.poly_batch)
 
     manifest = export_artifact(fn, example, args.out, {
         "preset": cfg.name, "fn": args.fn, "input_names": names,
         "intervene_var": args.intervene_var, "where": args.where,
         "abduction": args.abduction, "guidance_w": args.guidance_w,
         "sampler": args.sampler or ("ddim" if cfg.eval_use_ddim else "ddpm"),
-        "sample_steps": args.sample_steps, "batch_size": args.batch_size,
+        "sample_steps": args.sample_steps,
+        "batch_size": "polymorphic" if args.poly_batch else args.batch_size,
         "checkpoint_step": int(state.step), "use_ema": args.use_ema,
     })
     logger.log(f"wrote {args.out} ({manifest['bytes']} bytes, "
                f"platforms {manifest['platforms']})")
 
     if args.verify:
-        direct = np.asarray(fn(*example))
+        import jax.numpy as jnp
+
         loaded_fn, _ = load_artifact(args.out)
-        replay = np.asarray(loaded_fn(*example))
-        delta = float(np.abs(direct - replay).max())
-        logger.log(f"verify: max|direct - artifact| = {delta:.3e}")
-        if not np.allclose(direct, replay, atol=1e-5):
-            raise SystemExit("artifact does not reproduce the direct call")
+        # poly exports verify at two concrete batch sizes; fixed at theirs
+        for b in ((2, args.batch_size) if args.poly_batch else (args.batch_size,)):
+            concrete = tuple(
+                jnp.zeros(tuple(b if not isinstance(d, int) else d
+                                for d in a.shape), a.dtype)
+                for a in example)
+            direct = np.asarray(fn(*concrete))
+            replay = np.asarray(loaded_fn(*concrete))
+            delta = float(np.abs(direct - replay).max())
+            logger.log(f"verify (batch {b}): max|direct - artifact| = {delta:.3e}")
+            if not np.allclose(direct, replay, atol=1e-5):
+                raise SystemExit("artifact does not reproduce the direct call")
     print(f"exported {args.fn} -> {args.out}")
 
 

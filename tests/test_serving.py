@@ -124,3 +124,21 @@ print("BARE_LOAD_OK")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=900)
     assert "BARE_LOAD_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_poly_batch_artifact_serves_any_batch(ckpt, tmp_path):
+    """--poly_batch exports the batch dim symbolically: one artifact, every
+    batch size (CLI --verify checks 2 concrete sizes vs the direct call)."""
+    out = str(tmp_path / "recon_poly.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "4", "--poly_batch"])
+
+    manifest = json.loads(Path(out + ".json").read_text())
+    assert manifest["batch_size"] == "polymorphic"
+    assert manifest["inputs"][0]["shape"][0] == "b"
+
+    fn, _ = load_artifact(out)
+    for b in (1, 3):
+        imgs = np.asarray(fn(jnp.zeros((b, 28, 28, 1), jnp.float32),
+                             jnp.zeros((b,), jnp.int32), jnp.int32(0)))
+        assert imgs.shape == (b, 28, 28, 1) and np.isfinite(imgs).all()
