@@ -248,11 +248,25 @@ class ClassifierTrainer:
 
 
 def load_classifier(path: str, n_vars: int,
-                    hidden_dims: Optional[Tuple[int, ...]] = None):
-    """Load a saved classifier -> (model, variables, meta)."""
+                    hidden_dims: Optional[Tuple[int, ...]] = None,
+                    image_size: Optional[int] = None):
+    """Load a saved classifier -> (model, variables, meta).
+
+    Accepts this framework's pickles AND the reference's torch
+    ``classifier_<factor>_best.pth`` files (`classifiers.py:114-119` etc.) —
+    the latter need ``image_size`` to recover the head's flatten layout."""
+    model = GaussianConvEncoderClf(num_vars=n_vars, hidden_dims=hidden_dims)
+    if str(path).endswith((".pt", ".pth")):
+        if image_size is None:
+            raise ValueError("image_size is required to load a torch "
+                             "classifier checkpoint")
+        from ..utils.torch_port import load_torch_classifier
+
+        variables = load_torch_classifier(path, image_size)
+        return model, variables, {"source": "torch", "path": str(path),
+                                  "best_val": float("nan")}
     with open(path, "rb") as f:
         blob = pickle.load(f)
-    model = GaussianConvEncoderClf(num_vars=n_vars, hidden_dims=hidden_dims)
     return model, blob["variables"], blob
 
 

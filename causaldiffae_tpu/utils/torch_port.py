@@ -30,7 +30,8 @@ import numpy as np
 
 __all__ = ["torch_state_dict_to_numpy", "port_torch_state_dict",
            "load_torch_checkpoint", "export_torch_state_dict",
-           "save_torch_checkpoint"]
+           "save_torch_checkpoint", "port_classifier_state_dict",
+           "load_torch_classifier"]
 
 
 def torch_state_dict_to_numpy(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
@@ -138,6 +139,55 @@ def _unet_walk(cfg):
             idx += 1
 
 
+def _port_conv_trunk(sd, prefix: str, image_size: int):
+    """Port a Conv-BN-LeakyReLU stride-2 stack (`nn.py:38-58` / `:146-156`)
+    to `models.encoder.ConvTrunk` params + batch_stats. Returns
+    (params, batch_stats, final_channels, final_spatial) — the latter two
+    feed the flatten-permutation of any head linear over the trunk output."""
+    trunk_p: Dict[str, Any] = {}
+    trunk_s: Dict[str, Any] = {}
+    i = 0
+    ch = None
+    while f"{prefix}.{i}.0.weight" in sd:
+        trunk_p[f"Conv3x3_{i}"] = {"Conv_0": _conv2d(sd, f"{prefix}.{i}.0")}
+        trunk_p[f"BatchNorm_{i}"] = _norm(sd, f"{prefix}.{i}.1")
+        trunk_s[f"BatchNorm_{i}"] = {
+            "mean": sd[f"{prefix}.{i}.1.running_mean"].astype(np.float32),
+            "var": sd[f"{prefix}.{i}.1.running_var"].astype(np.float32),
+        }
+        ch = sd[f"{prefix}.{i}.0.weight"].shape[0]
+        i += 1
+    if ch is None:
+        raise KeyError(f"no conv trunk found under '{prefix}.'")
+    final_spatial = image_size
+    for _ in range(i):
+        final_spatial = (final_spatial + 1) // 2  # k3 s2 p1 conv out size
+    return trunk_p, trunk_s, ch, final_spatial
+
+
+def port_classifier_state_dict(sd: Mapping[str, np.ndarray],
+                               image_size: int) -> Dict[str, Any]:
+    """Port a reference anti-causal classifier state_dict
+    (`GaussianConvEncoderClf`, `nn.py:115-220`; saved by its trainers as
+    `classifier_<factor>_best.pth`) to flax variables for
+    `models.encoder.GaussianConvEncoderClf`. The torch module's fc_mu/fc_var
+    heads are dead weight in its forward (`nn.py:214-220`) and are dropped."""
+    trunk_p, trunk_s, ch, spatial = _port_conv_trunk(sd, "encoder", image_size)
+    return {
+        "params": {"trunk": trunk_p,
+                   "fc": {"Dense_0": _flatten_perm_linear(sd, "fc", ch, spatial)}},
+        "batch_stats": {"trunk": trunk_s},
+    }
+
+
+def load_torch_classifier(path: str, image_size: int) -> Dict[str, Any]:
+    """Load a reference ``classifier_*_best.pth`` into flax variables."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return port_classifier_state_dict(torch_state_dict_to_numpy(sd), image_size)
+
+
 def port_torch_state_dict(cfg, sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Build flax variables {params, batch_stats} from a reference state_dict.
 
@@ -158,23 +208,8 @@ def port_torch_state_dict(cfg, sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         params["c_dense2"] = {"Dense_0": _linear(sd, "c_emb.2")}
 
     if "rep_emb.fc_mu.weight" in sd:
-        trunk_p: Dict[str, Any] = {}
-        trunk_s: Dict[str, Any] = {}
-        i = 0
-        ch = None
-        while f"rep_emb.encoder.{i}.0.weight" in sd:
-            trunk_p[f"Conv3x3_{i}"] = {"Conv_0": _conv2d(sd, f"rep_emb.encoder.{i}.0")}
-            trunk_p[f"BatchNorm_{i}"] = _norm(sd, f"rep_emb.encoder.{i}.1")
-            trunk_s[f"BatchNorm_{i}"] = {
-                "mean": sd[f"rep_emb.encoder.{i}.1.running_mean"].astype(np.float32),
-                "var": sd[f"rep_emb.encoder.{i}.1.running_var"].astype(np.float32),
-            }
-            ch = sd[f"rep_emb.encoder.{i}.0.weight"].shape[0]
-            i += 1
-        n_convs = i
-        final_spatial = cfg.image_size
-        for _ in range(n_convs):
-            final_spatial = (final_spatial + 1) // 2
+        trunk_p, trunk_s, ch, final_spatial = _port_conv_trunk(
+            sd, "rep_emb.encoder", cfg.image_size)
         params["rep_emb"] = {
             "trunk": trunk_p,
             "fc_mu": {"Dense_0": _flatten_perm_linear(sd, "rep_emb.fc_mu", ch, final_spatial)},

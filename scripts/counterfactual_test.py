@@ -258,8 +258,16 @@ def main():
     n_factors = len(VAR_NAMES[dataset])
     predictors, clf_mv, clf_val_mse = [], [], {}
     for f in range(n_factors):
-        path = os.path.join(args.classifier_dir or args.out_dir,
-                            f"classifier_{dataset}_{VAR_NAMES[dataset][f]}.pkl")
+        name = VAR_NAMES[dataset][f]
+        cdir = args.classifier_dir or args.out_dir
+        path = os.path.join(cdir, f"classifier_{dataset}_{name}.pkl")
+        # a reference-trained probe in its own naming/format
+        # (`image_causaldae_test.py:129-158` loads classifier_<factor>_best.pth)
+        # is used directly when no native pickle exists
+        ref_path = os.path.join(cdir, f"classifier_{name.replace('_', '')}_best.pth")
+        if not os.path.exists(path) and os.path.exists(ref_path):
+            logger.log(f"importing reference torch classifier {ref_path}")
+            path = ref_path
         # multi-host: only the primary trains/writes the classifier file;
         # everyone else waits at the barrier then reads it (avoids N
         # redundant trainings and concurrent non-atomic pickle writes)
@@ -277,10 +285,10 @@ def main():
                    epochs=args.clf_epochs, batch_size=64, log_every=10)
             tr.save_best(path)
         sync_across_hosts(f"clf_{f}")
-        m, v, meta = load_classifier(path, cfg.n_vars)
+        m, v, meta = load_classifier(path, cfg.n_vars, image_size=cfg.image_size)
         predictors.append(classifier_predict_fn(m, v))
         clf_mv.append((m, v))
-        clf_val_mse[VAR_NAMES[dataset][f]] = float(meta.get("best_val", float("nan")))
+        clf_val_mse[name] = float(meta.get("best_val", float("nan")))
 
     fid = None
     if args.compute_fid:

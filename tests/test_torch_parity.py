@@ -378,3 +378,34 @@ def test_trainloop_warm_start_from_torch_checkpoint(torch_model, tmp_path):
         lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
         state.params, variables["params"]))
     assert max(moved) > 0
+
+
+def test_classifier_pth_import_forward_parity(tmp_path):
+    """Reference `classifier_*_best.pth` probes load directly
+    (`load_classifier(..., image_size=...)`): the ported flax classifier
+    reproduces the torch module's eval-mode forward exactly."""
+    from improved_diffusion.nn import GaussianConvEncoderClf as TorchClf
+
+    from causaldiffae_tpu.evals.classifiers import (
+        classifier_predict_fn, load_classifier)
+
+    torch.manual_seed(1)
+    clf = TorchClf(in_channels=1, latent_dim=512, num_vars=2)
+    # push data through in train mode so the BN running stats are non-trivial
+    clf.train()
+    with torch.no_grad():
+        for _ in range(3):
+            clf(torch.randn(8, 1, 28, 28))
+    clf.eval()
+    path = tmp_path / "classifier_thickness_best.pth"
+    torch.save(clf.state_dict(), path)
+
+    m, v, meta = load_classifier(str(path), n_vars=2, image_size=28)
+    assert meta["source"] == "torch"
+
+    x = np.random.RandomState(0).randn(4, 1, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        ref = clf(torch.from_numpy(x)).numpy()[:, 0]
+    got = np.asarray(
+        classifier_predict_fn(m, v)(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
