@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Run a serving artifact over a batch stream.
+
+The consumer half of the deployment story (`scripts/export_serving.py` is
+the producer): load a StableHLO artifact, feed it batches from an .npz (or
+a synthetic stream for smoke/latency checks), write outputs + report
+throughput. Needs no model code or checkpoints — just the artifact file.
+
+Usage:
+  python scripts/serve.py --artifact /tmp/serve/do_thickness.shlo \
+      --input batch.npz --value 1.0 --out /tmp/served.npz
+  python scripts/serve.py --artifact ... --synthetic 64   # latency smoke
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--artifact", required=True)
+    parser.add_argument("--input", default="",
+                        help=".npz with arrays named per the manifest inputs "
+                             "(x, and y/c when the model conditions on them)")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="serve N synthetic rows instead of --input")
+    parser.add_argument("--value", type=float, default=None,
+                        help="intervention level (counterfactual artifacts)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default="/tmp/causaldiffae_served.npz")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from causaldiffae_tpu.serving import load_artifact
+
+    fn, manifest = load_artifact(args.artifact)
+    inputs = manifest["inputs"]
+    names = [i["name"] for i in inputs]
+    print(f"artifact: {manifest.get('fn')} ({manifest.get('preset')}), "
+          f"inputs {names}, platforms {manifest.get('platforms')}")
+
+    by_name = {i["name"]: i for i in inputs}
+    # fixed-batch artifacts dictate B; polymorphic ones take the stream's
+    x_spec = by_name.get("x") or by_name.get("y")
+    dim0 = x_spec["shape"][0]
+    fixed_b = dim0 if isinstance(dim0, int) else None
+
+    if args.synthetic:
+        n = args.synthetic
+        feed = {}
+        if "x" in by_name:
+            shp = [n] + list(by_name["x"]["shape"][1:])
+            feed["x"] = np.zeros(shp, np.float32)
+        if "y" in by_name:
+            feed["y"] = (np.arange(n) % 10).astype(np.int32)
+        if "c" in by_name:
+            feed["c"] = np.zeros((n, by_name["c"]["shape"][1]), np.float32)
+    else:
+        if not args.input:
+            raise SystemExit("one of --input / --synthetic is required")
+        with np.load(args.input) as z:
+            feed = {k: z[k] for k in z.files if k in by_name}
+        n = len(next(iter(feed.values())))
+    if "value" in by_name and args.value is None:
+        raise SystemExit("this artifact takes --value (counterfactual)")
+
+    B = fixed_b or n
+    outs, times = [], []
+    for lo in range(0, n, B):
+        rows = {k: v[lo:lo + B] for k, v in feed.items()}
+        pad = B - len(next(iter(rows.values()))) if rows else 0
+        if pad:  # fixed-batch artifact: pad the tail, trim after
+            rows = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                    for k, v in rows.items()}
+        call = [jnp.asarray(rows[name]) for name in names if name in rows]
+        if "value" in by_name:
+            call.append(jnp.float32(args.value))
+        call.append(jnp.int32(args.seed + lo))
+        t0 = time.perf_counter()
+        out = np.asarray(jax.block_until_ready(fn(*call)))
+        times.append(time.perf_counter() - t0)
+        outs.append(out[:B - pad] if pad else out)
+
+    images = np.concatenate(outs, 0)
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(args.out, samples=images)
+    # first call includes compile; steady-state rate from the rest
+    steady = times[1:] or times
+    report = {
+        "served": int(images.shape[0]),
+        "batch": B,
+        "first_call_s": round(times[0], 4),
+        "steady_batch_s": round(float(np.median(steady)), 4),
+        "imgs_per_sec": round(B / float(np.median(steady)), 2),
+        "out": args.out,
+    }
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

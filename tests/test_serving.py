@@ -142,3 +142,28 @@ def test_poly_batch_artifact_serves_any_batch(ckpt, tmp_path):
         imgs = np.asarray(fn(jnp.zeros((b, 28, 28, 1), jnp.float32),
                              jnp.zeros((b,), jnp.int32), jnp.int32(0)))
         assert imgs.shape == (b, 28, 28, 1) and np.isfinite(imgs).all()
+
+
+def test_serve_cli_runs_artifact_over_stream(ckpt, tmp_path):
+    """scripts/serve.py: the consumer CLI feeds a stream through a
+    fixed-batch artifact (padding + trimming the tail) and reports
+    throughput, with no model code in the loop."""
+    out = str(tmp_path / "recon_b2.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "2",
+              "--use_pallas", "false", "--verify", "false"])
+
+    import serve
+
+    served = str(tmp_path / "served.npz")
+    old = sys.argv
+    sys.argv = ["serve.py", "--artifact", out, "--synthetic", "5",
+                "--out", served]
+    try:
+        report = serve.main()
+    finally:
+        sys.argv = old
+
+    assert report["served"] == 5 and report["batch"] == 2
+    arr = np.load(served)["samples"]
+    assert arr.shape == (5, 28, 28, 1) and np.isfinite(arr).all()
