@@ -82,14 +82,22 @@ class AttentionBlock(nn.Module):
             from ..ops.attention_pallas import (fused_qkv_attention,
                                                 fused_qkv_attention_t)
 
-            # CDAE_ATTN_FULL_LANE=1 routes to the full-lane-orientation
-            # kernel variant for whole-step A/B measurement (bench_ops.py
-            # covers the kernel in isolation); default stays with the
-            # measured winner.
-            if os.environ.get("CDAE_ATTN_FULL_LANE") == "1":
+            # Orientation routing, per-shape (v5e bench_ops measurement,
+            # RESULTS.md "Kernel routing"): the full-lane variant wins only
+            # where the head-major kernel's d-sized output lanes waste 3/4
+            # of the MXU — head_dim 32, the hot B=128/T=784 blocks (fwd
+            # 1.30x, bwd 1.22x) — and LOSES at head_dim >= 64 (0.78-0.97x),
+            # where its extra transposes aren't buying lane width back.
+            # CDAE_ATTN_FULL_LANE=1/0 forces one kernel everywhere for A/B
+            # runs (trace-time read, like CDAE_ATTN_FL_BWD).
+            force = os.environ.get("CDAE_ATTN_FULL_LANE")
+            head_dim = C // self.num_heads
+            if force == "1" or (force is None and head_dim == 32):
                 h = fused_qkv_attention_t(qkv, self.num_heads)
-            else:
+            elif force == "0" or force is None:
                 h = fused_qkv_attention(qkv, self.num_heads)
+            else:
+                raise ValueError(f"CDAE_ATTN_FULL_LANE={force!r}: expected '1', '0', or unset")
         else:
             h = qkv_attention(qkv, self.num_heads)
         h = DenseT(C, zero_init=True, dtype=self.dtype)(h)

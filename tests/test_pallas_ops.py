@@ -211,3 +211,49 @@ def test_full_lane_env_routing(monkeypatch):
     before = calls["t"]  # init traces the block once too
     block.apply(variables, x)
     assert calls["t"] == before + 1
+
+
+def test_attention_orientation_auto_routing(monkeypatch):
+    """With CDAE_ATTN_FULL_LANE unset, AttentionBlock picks the kernel
+    orientation per shape: full-lane at head_dim 32 (the measured v5e win,
+    RESULTS.md "Kernel routing"), head-major otherwise; =0 forces
+    head-major even at head_dim 32."""
+    import causaldiffae_tpu.ops.attention_pallas as ap
+    from causaldiffae_tpu.models.attention import AttentionBlock
+
+    calls = {"t": 0, "hm": 0}
+    real_t, real_hm = ap.fused_qkv_attention_t, ap.fused_qkv_attention
+
+    def counting_t(qkv, h, interpret=None):
+        calls["t"] += 1
+        return real_t(qkv, h, interpret)
+
+    def counting_hm(qkv, h, interpret=None):
+        calls["hm"] += 1
+        return real_hm(qkv, h, interpret)
+
+    monkeypatch.setattr(
+        "causaldiffae_tpu.ops.attention_pallas.fused_qkv_attention_t", counting_t)
+    monkeypatch.setattr(
+        "causaldiffae_tpu.ops.attention_pallas.fused_qkv_attention", counting_hm)
+    monkeypatch.delenv("CDAE_ATTN_FULL_LANE", raising=False)
+
+    def run(channels, num_heads):
+        block = AttentionBlock(channels=channels, num_heads=num_heads,
+                               use_pallas=True, dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, channels),
+                              dtype=jnp.bfloat16)
+        variables = block.init({"params": jax.random.PRNGKey(1)}, x)
+        start = dict(calls)
+        block.apply(variables, x)
+        return {k: calls[k] - start[k] for k in calls}
+
+    assert run(64, 2) == {"t": 1, "hm": 0}      # head_dim 32 -> full-lane
+    assert run(128, 2) == {"t": 0, "hm": 1}     # head_dim 64 -> head-major
+
+    monkeypatch.setenv("CDAE_ATTN_FULL_LANE", "0")
+    assert run(64, 2) == {"t": 0, "hm": 1}      # forced head-major
+
+    monkeypatch.setenv("CDAE_ATTN_FULL_LANE", "bogus")
+    with pytest.raises(ValueError, match="CDAE_ATTN_FULL_LANE"):
+        run(64, 2)
