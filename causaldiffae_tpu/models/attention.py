@@ -90,7 +90,8 @@ class AttentionBlock(nn.Module):
             # where its extra transposes aren't buying lane width back.
             # CDAE_ATTN_FULL_LANE=1/0 forces one kernel everywhere for A/B
             # runs (trace-time read, like CDAE_ATTN_FL_BWD).
-            force = os.environ.get("CDAE_ATTN_FULL_LANE")
+            # `or None`: VAR= (empty string) in a shell means unset, not bogus
+            force = os.environ.get("CDAE_ATTN_FULL_LANE") or None
             head_dim = C // self.num_heads
             if force == "1" or (force is None and head_dim == 32):
                 h = fused_qkv_attention_t(qkv, self.num_heads)

@@ -84,20 +84,28 @@ def test_attention_train_gating_numerics():
 
 def test_unet_routes_pallas_attention_in_bf16_train(monkeypatch):
     """The UNet-level routing (_apply_seq head dispatch + dtype gate) must
-    actually reach the Pallas kernel for every bf16 pass (train AND eval,
+    actually reach *a* Pallas kernel for every bf16 pass (train AND eval,
     the round-3 contract) and never for fp32 - asserted with a call counter
-    so a broken dispatch can't pass silently."""
+    so a broken dispatch can't pass silently. Counts BOTH orientations
+    (head-major and full-lane): which one fires is the per-shape routing's
+    business (test_attention_orientation_auto_routing pins that); this test
+    pins only the bf16-reaches-Pallas / fp32-never-does contract."""
     import causaldiffae_tpu.ops.attention_pallas as ap
     from causaldiffae_tpu.config import Config, create_model
 
     calls = {"n": 0}
-    real = ap.fused_qkv_attention
+    real_hm, real_t = ap.fused_qkv_attention, ap.fused_qkv_attention_t
 
-    def counting(qkv, num_heads, interpret=None):
+    def counting_hm(qkv, num_heads, interpret=None):
         calls["n"] += 1
-        return real(qkv, num_heads, interpret)
+        return real_hm(qkv, num_heads, interpret)
 
-    monkeypatch.setattr(ap, "fused_qkv_attention", counting)
+    def counting_t(qkv, num_heads, interpret=None):
+        calls["n"] += 1
+        return real_t(qkv, num_heads, interpret)
+
+    monkeypatch.setattr(ap, "fused_qkv_attention", counting_hm)
+    monkeypatch.setattr(ap, "fused_qkv_attention_t", counting_t)
 
     cfg = Config(
         name="tiny", dataset="morphomnist", image_size=28, in_channels=1,
@@ -253,6 +261,9 @@ def test_attention_orientation_auto_routing(monkeypatch):
 
     monkeypatch.setenv("CDAE_ATTN_FULL_LANE", "0")
     assert run(64, 2) == {"t": 0, "hm": 1}      # forced head-major
+
+    monkeypatch.setenv("CDAE_ATTN_FULL_LANE", "")  # VAR= means unset
+    assert run(64, 2) == {"t": 1, "hm": 0}
 
     monkeypatch.setenv("CDAE_ATTN_FULL_LANE", "bogus")
     with pytest.raises(ValueError, match="CDAE_ATTN_FULL_LANE"):
