@@ -37,6 +37,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
@@ -133,14 +134,27 @@ def partition_state(state, mesh: Mesh, param_specs: Optional[Dict[str, Any]] = N
     Drop-in replacement for ``device_put(state, replicated(mesh))`` in
     TrainLoop/`__graft_entry__`; with no 'model' axis (or size 1) it IS the
     replicated placement.
+
+    Multi-process: works over a mesh spanning processes too. Each process
+    holds an identical host-side state (same init seed everywhere, the
+    single-controller convention); ``device_put`` accepts host values for
+    non-addressable shardings (each process materializes only its own
+    shards) but rejects committed device arrays, so leaves go through numpy
+    first. The reference has no cross-host model sharding at all
+    (`train_util.py:111-118` wraps DDP only).
     """
     size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
     if param_specs is None:
         param_specs = unet_param_specs(state.params, size)
     specs = state_partition_specs(state, param_specs)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
-    )
+    multiprocess = jax.process_count() > 1
+
+    def _place(x, s):
+        if multiprocess:
+            x = np.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(_place, state, specs)
 
 
 def count_sharded(specs) -> int:

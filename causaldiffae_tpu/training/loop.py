@@ -89,14 +89,12 @@ class TrainLoop:
         self.data = data
         self.tx = make_optimizer(cfg)
         mp = getattr(cfg, "model_parallel", 1)
-        if mp > 1 and jax.process_count() > 1:
-            # cross-process TP would shard params over non-addressable
-            # devices: save()'s device_get and the per-leaf device_put in
-            # partition_state both reject that. Fail loud at startup, not
-            # at the first save_interval mid-run.
-            raise NotImplementedError(
-                "model_parallel > 1 is single-process only for now; "
-                "multi-host runs use data parallelism (model_parallel=1)")
+        # mp > 1 works multi-process too: make_mesh puts 'model' on the
+        # innermost (fastest-varying) axis of the global device order, so
+        # TP groups land within a host whenever mp divides the local chip
+        # count (all-reduces ride ICI); partition_state scatters each
+        # process's identical host state onto its addressable shards, and
+        # save() switches to orbax's collective sharded save.
         self.mesh = make_mesh(model_parallel=mp) if use_mesh else None
 
         first = {k: jnp.asarray(v) for k, v in next(data).items()}
@@ -233,6 +231,15 @@ class TrainLoop:
     def save(self):
         if self.ckpt is None:
             return
-        state = jax.device_get(self.state)
-        self.ckpt.save(int(state.step), state)
-        logger.log(f"saved checkpoint at step {int(state.step)}")
+        if jax.process_count() > 1:
+            # collective sharded save: every process passes the on-device
+            # state and orbax writes each shard from the process that
+            # addresses it — a device_get here would reject leaves that are
+            # TP-sharded across processes (non-addressable shards)
+            step = int(jax.device_get(self.state.step))
+            self.ckpt.save(step, self.state)
+        else:
+            state = jax.device_get(self.state)
+            step = int(state.step)
+            self.ckpt.save(step, state)
+        logger.log(f"saved checkpoint at step {step}")

@@ -126,6 +126,54 @@ def run_trainloop(cfg, outdir, process_id, data_dir):
     _fingerprint(state.params, [float(state.step)], outdir, process_id)
 
 
+def run_tp(cfg, outdir, process_id):
+    """Multi-host tensor parallelism through the SHIPPED TrainLoop:
+    model_parallel=2 over the 8-device 2-process mesh (dp=4 x tp=2; the
+    'model' axis is innermost, so each TP pair sits within one process —
+    the ICI-local layout a real pod slice wants). Trains 2 steps, saves a
+    collective sharded orbax checkpoint, then RESUMES into the sharded
+    template and trains 1 more. Fingerprints the fully-gathered params."""
+    import numpy as np
+    from pathlib import Path
+
+    from causaldiffae_tpu.config import create_diffusion, create_model
+    from causaldiffae_tpu.data import synthetic_iterator
+    from causaldiffae_tpu.training.loop import TrainLoop
+
+    tp_cfg = cfg.replace(name="mh_tp", model_parallel=2, total_steps=3,
+                         save_interval=2, log_interval=1)
+    ckdir = str(Path(outdir) / "tp_ckpt")
+    model = create_model(tp_cfg)
+    diffusion = create_diffusion(tp_cfg)
+
+    def make_it():
+        return synthetic_iterator(tp_cfg.dataset, tp_cfg.batch_size,
+                                  pool=tp_cfg.batch_size * 4, seed=7)
+
+    loop = TrainLoop(tp_cfg, model, diffusion, make_it(), ckpt_dir=ckdir)
+    k = loop.state.params["input_blocks_1_0"]["Conv3x3_0"]["Conv_0"]["kernel"]
+    assert k.addressable_shards[0].data.shape[-1] == k.shape[-1] // 2, (
+        "TP placement did not shard the column conv")
+    state = loop.run_loop(num_steps=2)
+    assert int(jax.device_get(state.step)) == 2
+
+    # resume restores into the SHARDED cross-process template
+    loop2 = TrainLoop(tp_cfg, model, diffusion, make_it(), ckpt_dir=ckdir)
+    assert loop2.resume_step == 2, loop2.resume_step
+    k = loop2.state.params["input_blocks_1_0"]["Conv3x3_0"]["Conv_0"]["kernel"]
+    assert k.addressable_shards[0].data.shape[-1] == k.shape[-1] // 2
+    state = loop2.run_loop(num_steps=3)
+    assert int(jax.device_get(state.step)) == 3
+
+    # every leaf is locally complete (tp within-process), so device_get
+    # gathers the full values for the cross-process bitwise comparison
+    leaves = jax.tree_util.tree_leaves_with_path(state.params)
+    fp = {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf))
+          for path, leaf in leaves}
+    fp["__losses__"] = np.asarray([float(jax.device_get(state.step))])
+    np.savez(os.path.join(outdir, f"fingerprint_{process_id}.npz"), **fp)
+
+
 def run_cfeval(cfg, outdir, process_id):
     """The SHIPPED eval CLI end to end across 2 processes: train a few
     steps + checkpoint (collective orbax save), then drive
@@ -196,6 +244,8 @@ def main(process_id: int, num_processes: int, port: int, outdir: str,
         run_rawstep(cfg, outdir, process_id)
     elif mode == "trainloop":
         run_trainloop(cfg, outdir, process_id, data_dir)
+    elif mode == "tp":
+        run_tp(cfg, outdir, process_id)
     elif mode == "cfeval":
         sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
         run_cfeval(cfg, outdir, process_id)

@@ -103,6 +103,14 @@ def test_two_process_trainloop_with_load_data(tmp_path):
     _run_workers(tmp_path, "trainloop", str(d))
 
 
+def test_two_process_tensor_parallel_trainloop(tmp_path):
+    """Multi-host TP (round-4, lifts the round-3 NotImplementedError guard):
+    TrainLoop with model_parallel=2 over the 2-process dp=4 x tp=2 mesh,
+    including a collective sharded orbax checkpoint + resume into the
+    sharded template. Bitwise-identical gathered params on both hosts."""
+    _run_workers(tmp_path, "tp")
+
+
 def test_two_process_counterfactual_eval(tmp_path):
     """The SHIPPED eval CLI across 2 processes: collective orbax
     checkpoint, primary-trains-probes + barrier-then-read classifier
