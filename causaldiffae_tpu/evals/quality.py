@@ -90,53 +90,28 @@ def classifier_feature_fn(model, variables, batch_size: int = 64) -> Callable[[n
 
 
 def inception_feature_fn(weights_path: Optional[str] = None,
-                         batch_size: int = 32) -> Callable[[np.ndarray], np.ndarray]:
-    """InceptionV3 pool3 features (the published-FID feature space).
+                         batch_size: int = 32,
+                         feature: int = 64) -> Callable[[np.ndarray], np.ndarray]:
+    """InceptionV3 pool features — the published-FID feature space.
 
-    Requires torchvision plus a local weights file (no network egress on a
-    pod); raises with a clear message when either is missing. Mirrors the
-    torchmetrics `FrechetInceptionDistance(feature=2048)` configuration the
-    reference instantiates (`image_causaldae_test.py:38`).
+    Implements the torchmetrics ``FrechetInceptionDistance(feature=64)``
+    contract the reference instantiates (`image_causaldae_test.py:38`), in
+    pure JAX (`evals.inception`): the pytorch-fid InceptionV3 head up to the
+    64 (or 192) pool tap, weights ported from a local torch state dict
+    (torchvision or pytorch-fid layout — no torchvision dependency, no
+    network egress). Raises with a clear message when the weights file is
+    missing: random-init features would give a meaningless FID.
     """
-    try:
-        import torch
-        from torchvision.models import inception_v3
-    except ImportError as e:
-        raise RuntimeError(
-            "inception FID requires torchvision; use classifier_feature_fn "
-            "(trained-trunk features) on air-gapped hosts"
-        ) from e
     if not weights_path:
         raise RuntimeError(
             "inception FID needs a local weights file (no network egress to "
             "download pretrained weights); random-init features would give a "
             "meaningless FID. Use classifier_feature_fn instead."
         )
-    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
-    net.load_state_dict(torch.load(weights_path, map_location="cpu"))
-    net.fc = torch.nn.Identity()
-    net.eval()
+    from .inception import head_feature_fn, load_inception_head
 
-    def fn(images: np.ndarray) -> np.ndarray:
-        x = np.asarray(images, dtype=np.float32)
-        if x.shape[-1] in (1, 3, 4):  # NHWC -> NCHW
-            x = x.transpose(0, 3, 1, 2)
-        if x.shape[1] == 1:
-            x = np.repeat(x, 3, axis=1)
-        out = []
-        with torch.no_grad():
-            for i in range(0, len(x), batch_size):
-                xb = torch.from_numpy(x[i:i + batch_size])
-                xb = torch.nn.functional.interpolate(
-                    xb, size=(299, 299), mode="bilinear", align_corners=False
-                )
-                # published-FID preprocessing: [0,1] -> [-1,1] (torchmetrics'
-                # NoTrainInceptionV3 normalize_input, matching pytorch-fid)
-                xb = xb * 2.0 - 1.0
-                out.append(net(xb).numpy())
-        return np.concatenate(out, axis=0)
-
-    return fn
+    return head_feature_fn(load_inception_head(weights_path, feature=feature),
+                           batch_size=batch_size)
 
 
 def default_feature_fn(classifier_model=None, classifier_variables=None,
