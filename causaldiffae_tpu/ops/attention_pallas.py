@@ -41,6 +41,10 @@ except Exception:  # pragma: no cover
 
 __all__ = ["fused_qkv_attention", "fused_qkv_attention_t"]
 
+# measured-winner default for _defer_norm (flipped only on a recorded v5e
+# bench_ops win; RESULTS.md "Kernel routing")
+_DEFER_NORM_DEFAULT = False
+
 
 def _default_interpret() -> bool:
     """Compiled on TPU devices, interpreter elsewhere (CPU tests). The axon
@@ -77,7 +81,39 @@ def _q_chunk(T: int, itemsize: int, backward: bool, extra_lp: int = 0) -> int:
     return 8
 
 
-def _attn_kernel(qkv_ref, o_ref, *, num_heads: int):
+def _defer_norm() -> bool:
+    """Trace-time read of the deferred-normalization A/B flag.
+
+    With ``CDAE_ATTN_DEFER_NORM=1`` the kernels compute PV with the
+    UNNORMALIZED exp(s - max) and fold the softmax denominator into the
+    d-sized output (forward) / the d-sized matmul operands (backward): the
+    [rows, T]-sized division — a full T^2 multi-cycle VPU pass per matmul
+    pair — becomes a [rows, d] multiply. Mathematically identical softmax
+    (same max-subtraction; only the division is re-associated); bf16-cast
+    intermediates stay in the same dynamic range because exp(s-max) <= 1.
+    The default follows the v5e measurement policy (CLAUDE.md): adopt only
+    on a measured win, recorded in RESULTS.md "Kernel routing". Trace-time
+    like the other kernel flags — measure each flavor in its own process.
+    """
+    import os
+
+    v = os.environ.get("CDAE_ATTN_DEFER_NORM") or None
+    if v is None:
+        return _DEFER_NORM_DEFAULT
+    if v in ("0", "1"):
+        return v == "1"
+    raise ValueError(f"CDAE_ATTN_DEFER_NORM={v!r}: expected '1', '0', or unset")
+
+
+def _exp_rows(s: jnp.ndarray, axis: int):
+    """(exp(s - max), 1/sum) along ``axis`` — the two softmax factors."""
+    m = jnp.max(s, axis=axis, keepdims=True)
+    e = jnp.exp(s - m)
+    r = 1.0 / jnp.sum(e, axis=axis, keepdims=True)
+    return e, r
+
+
+def _attn_kernel(qkv_ref, o_ref, *, num_heads: int, defer_norm: bool):
     """One batch element: qkv block [T, 3C] (head-major interleave) -> [T, C].
 
     Heads are processed by a static in-kernel loop over lane slices of the
@@ -103,8 +139,13 @@ def _attn_kernel(qkv_ref, o_ref, *, num_heads: int):
         # into the output ref's lane slice - no in-VMEM concatenation pass.
         for i in range(0, T, cq):
             s = jnp.dot(q[i:i + cq], k.T, preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
+            if defer_norm:
+                e, r = _exp_rows(s, axis=-1)
+                o = jnp.dot(e.astype(dt), v, preferred_element_type=jnp.float32)
+                o = o * r                  # [cq, d] scale, not a [cq, T] div
+            else:
+                p = jax.nn.softmax(s, axis=-1)
+                o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
             o_ref[0, i:i + cq, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
@@ -129,7 +170,8 @@ def _attn_call(kernel, out_lastdim: int, interpret: bool, qkv, *extra):
 
 
 def _forward(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
-    return _attn_call(functools.partial(_attn_kernel, num_heads=num_heads),
+    return _attn_call(functools.partial(_attn_kernel, num_heads=num_heads,
+                                        defer_norm=_defer_norm()),
                       qkv.shape[-1] // 3, interpret, qkv)
 
 
@@ -139,7 +181,8 @@ def _reference(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return qkv_attention(qkv, num_heads)
 
 
-def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
+                     defer_norm: bool):
     """Flash-style backward for one batch element (in-kernel head loop).
 
     Recomputes the T x T probabilities in VMEM instead of reading the saved
@@ -147,6 +190,13 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
     attention (T=784, batch 128) the saved-weights tensor alone is 630MB, and
     eliminating its HBM round-trips is the single biggest win in the step.
     g arrives as [T, C] in the natural (head-interleaved lane) layout.
+
+    ``defer_norm``: keep p UNNORMALIZED (e = exp(s - max)) through every
+    T^2-sized op and fold the denominator r = 1/rowsum into the d-sized
+    matmul operands instead — dv = e^T (r*g), dk = ds~^T (r*q), dq scaled
+    post-matmul — turning the [cq, T] division into three [cq, d]
+    multiplies. ds~ = e * (dp - c) with c = rowsum(dp * e) * r, identical
+    math (r is constant per row), just re-associated.
     """
     qkv = qkv_ref[0]                       # [T, 3C]
     g_all = g_ref[0]                       # [T, C]
@@ -170,21 +220,37 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
             qc = q[i:i + cq]
             gc = g[i:i + cq]
             s = jnp.dot(qc, k.T, preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s, axis=-1)
-            p_lp = p.astype(dt)
-            dv = dv + jnp.dot(p_lp.T, gc, preferred_element_type=jnp.float32)
-            dp = jnp.dot(gc, v.T, preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            ds_lp = ds.astype(dt)
-            dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
+            if defer_norm:
+                e, r = _exp_rows(s, axis=-1)
+                e_lp = e.astype(dt)
+                gr = (gc.astype(jnp.float32) * r).astype(dt)    # [cq, d]
+                dv = dv + jnp.dot(e_lp.T, gr, preferred_element_type=jnp.float32)
+                dp = jnp.dot(gc, v.T, preferred_element_type=jnp.float32)
+                c = jnp.sum(dp * e, axis=-1, keepdims=True) * r
+                ds_u = (e * (dp - c)).astype(dt)                # unnormalized
+                dq = jnp.dot(ds_u, k, preferred_element_type=jnp.float32)
+                dq = dq * r * scale.astype(jnp.float32)         # [cq, d] scale
+                qr = (qc.astype(jnp.float32) * r).astype(dt)    # [cq, d]
+                dk = dk + jnp.dot(ds_u.T, qr,
+                                  preferred_element_type=jnp.float32) * scale
+            else:
+                p = jax.nn.softmax(s, axis=-1)
+                p_lp = p.astype(dt)
+                dv = dv + jnp.dot(p_lp.T, gc, preferred_element_type=jnp.float32)
+                dp = jnp.dot(gc, v.T, preferred_element_type=jnp.float32)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                ds_lp = ds.astype(dt)
+                dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
+                dk = dk + jnp.dot(ds_lp.T, qc,
+                                  preferred_element_type=jnp.float32) * scale
             dqkv_ref[0, i:i + cq, base:base + d] = dq.astype(dqkv_ref.dtype)
-            dk = dk + jnp.dot(ds_lp.T, qc, preferred_element_type=jnp.float32) * scale
         dqkv_ref[0, :, base + d:base + 2 * d] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, base + 2 * d:base + 3 * d] = dv.astype(dqkv_ref.dtype)
 
 
 def _backward(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
-    return _attn_call(functools.partial(_attn_bwd_kernel, num_heads=num_heads),
+    return _attn_call(functools.partial(_attn_bwd_kernel, num_heads=num_heads,
+                                        defer_norm=_defer_norm()),
                       qkv.shape[-1], interpret, qkv, g)
 
 
@@ -211,7 +277,7 @@ def _backward(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: bool)
 # stays with the measured winner.
 
 
-def _attn_kernel_t(qkv_ref, o_ref, *, num_heads: int):
+def _attn_kernel_t(qkv_ref, o_ref, *, num_heads: int, defer_norm: bool):
     """Full-lane forward: scores in [k-index, q-index] orientation."""
     qkv = qkv_ref[0]                       # [T, 3C]
     T = qkv.shape[0]
@@ -228,14 +294,19 @@ def _attn_kernel_t(qkv_ref, o_ref, *, num_heads: int):
             q_t = q[i:i + cq].T                        # [d, cq] small transpose
             # s_t = (q_c k^T)^T: contraction d (the unavoidable capped one)
             s_t = jnp.dot(k, q_t, preferred_element_type=jnp.float32)  # [T, cq]
-            p_t = jax.nn.softmax(s_t, axis=0)          # softmax over k-index
-            # o_t = (p v)^T: contraction T, output lanes cq — full MXU
-            o_t = jnp.dot(v_t, p_t.astype(dt), preferred_element_type=jnp.float32)
+            if defer_norm:
+                e, r = _exp_rows(s_t, axis=0)          # r: [1, cq]
+                o_t = jnp.dot(v_t, e.astype(dt), preferred_element_type=jnp.float32)
+                o_t = o_t * r                          # [d, cq] scale, no T^2 div
+            else:
+                p_t = jax.nn.softmax(s_t, axis=0)      # softmax over k-index
+                # o_t = (p v)^T: contraction T, output lanes cq — full MXU
+                o_t = jnp.dot(v_t, p_t.astype(dt), preferred_element_type=jnp.float32)
             o_ref[0, i:i + cq, h * d:(h + 1) * d] = o_t.T.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
-                       dq_full_lane: bool = True):
+                       defer_norm: bool, dq_full_lane: bool = True):
     """Full-lane flash backward: dq/dk/dv all produced in [d, ·] orientation.
 
     Same recompute structure as `_attn_bwd_kernel`; the three output
@@ -272,11 +343,24 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
             qc = q[i:i + cq]
             gc = g_all[i:i + cq, h * d:(h + 1) * d]
             s = jnp.dot(qc, k_t, preferred_element_type=jnp.float32)   # capped
-            p = jax.nn.softmax(s, axis=-1)
-            dp = jnp.dot(gc, v_t, preferred_element_type=jnp.float32)  # capped
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            p_lp = p.astype(dt)
-            ds_lp = ds.astype(dt)
+            if defer_norm:
+                # unnormalized p through every T^2 op; r folded into the
+                # d-sized operands (see _attn_bwd_kernel docstring)
+                e, r = _exp_rows(s, axis=-1)                    # r: [cq, 1]
+                dp = jnp.dot(gc, v_t, preferred_element_type=jnp.float32)
+                c = jnp.sum(dp * e, axis=-1, keepdims=True) * r
+                p_lp = e.astype(dt)
+                ds_lp = (e * (dp - c)).astype(dt)               # unnormalized
+                qc_m = (qc.astype(jnp.float32) * r).astype(dt)  # [cq, d]
+                gc_m = (gc.astype(jnp.float32) * r).astype(dt)  # [cq, d]
+                dq_post = r                                     # [cq, 1]
+            else:
+                p = jax.nn.softmax(s, axis=-1)
+                dp = jnp.dot(gc, v_t, preferred_element_type=jnp.float32)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                p_lp = p.astype(dt)
+                ds_lp = ds.astype(dt)
+                qc_m, gc_m, dq_post = qc, gc, None
             if dq_full_lane:
                 # dq^T = k^T ds^T — contraction T, lanes cq: full MXU
                 # (costs a [cq, T] bf16 transpose of ds)
@@ -285,18 +369,21 @@ def _attn_bwd_kernel_t(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
             else:
                 # lane-capped dq (32 output lanes), but no big transpose
                 dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32)
+            if dq_post is not None:
+                dq = dq * dq_post
             dqkv_ref[0, i:i + cq, base:base + d] = (
                 dq * scale.astype(jnp.float32)).astype(dqkv_ref.dtype)
             # dk^T += q_c^T ds, dv^T += g_c^T p — contraction cq, lanes T
-            dk_t = dk_t + jnp.dot(qc.T, ds_lp, preferred_element_type=jnp.float32)
-            dv_t = dv_t + jnp.dot(gc.T, p_lp, preferred_element_type=jnp.float32)
+            dk_t = dk_t + jnp.dot(qc_m.T, ds_lp, preferred_element_type=jnp.float32)
+            dv_t = dv_t + jnp.dot(gc_m.T, p_lp, preferred_element_type=jnp.float32)
         dk_t = dk_t * scale.astype(jnp.float32)
         dqkv_ref[0, :, base + d:base + 2 * d] = dk_t.T.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, base + 2 * d:base + 3 * d] = dv_t.T.astype(dqkv_ref.dtype)
 
 
 def _forward_t(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.ndarray:
-    return _attn_call(functools.partial(_attn_kernel_t, num_heads=num_heads),
+    return _attn_call(functools.partial(_attn_kernel_t, num_heads=num_heads,
+                                        defer_norm=_defer_norm()),
                       qkv.shape[-1] // 3, interpret, qkv)
 
 
@@ -307,6 +394,7 @@ def _backward_t(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, interpret: boo
     # kernel docstring)
     dq_full_lane = os.environ.get("CDAE_ATTN_FL_BWD") != "capped_dq"
     return _attn_call(functools.partial(_attn_bwd_kernel_t, num_heads=num_heads,
+                                        defer_norm=_defer_norm(),
                                         dq_full_lane=dq_full_lane),
                       qkv.shape[-1], interpret, qkv, g)
 

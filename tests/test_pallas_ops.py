@@ -195,6 +195,44 @@ def test_full_lane_attention_grad_and_chunked(monkeypatch):
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("flag", ["0", "1"])
+def test_defer_norm_flavor_parity(monkeypatch, flag):
+    """CDAE_ATTN_DEFER_NORM re-associates the softmax division (unnormalized
+    exp through the T^2 ops, denominator folded into d-sized operands) —
+    forward AND grads must match the jnp reference in BOTH flavors, for
+    BOTH kernel orientations, including the forced-chunked path."""
+    import causaldiffae_tpu.ops.attention_pallas as ap
+
+    monkeypatch.setenv("CDAE_ATTN_DEFER_NORM", flag)
+    B, T, H, d = 2, 64, 2, 16
+    C = H * d
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (B, T, 3 * C))
+    ref = qkv_attention(qkv, H)
+    g_ref = jax.grad(lambda q: jnp.sum(qkv_attention(q, H) ** 2))(qkv)
+
+    for kernel in (ap.fused_qkv_attention, ap.fused_qkv_attention_t):
+        got = kernel(qkv, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        grad = jax.grad(lambda q: jnp.sum(kernel(q, H) ** 2))(qkv)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+
+    monkeypatch.setattr(ap, "_q_chunk",
+                        lambda T, itemsize, backward, extra_lp=0: 16)
+    for kernel in (ap.fused_qkv_attention, ap.fused_qkv_attention_t):
+        got = kernel(qkv, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        grad = jax.grad(lambda q: jnp.sum(kernel(q, H) ** 2))(qkv)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+
+    monkeypatch.setenv("CDAE_ATTN_DEFER_NORM", "bogus")
+    with pytest.raises(ValueError, match="CDAE_ATTN_DEFER_NORM"):
+        ap.fused_qkv_attention(qkv, H)
+
+
 def test_full_lane_env_routing(monkeypatch):
     """CDAE_ATTN_FULL_LANE=1 routes AttentionBlock's bf16 pass through the
     full-lane kernel variant."""
