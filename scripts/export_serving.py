@@ -185,13 +185,17 @@ def main():
         import jax.numpy as jnp
 
         loaded_fn, _ = load_artifact(args.out)
+        # jit the direct call: it must go through the same compile path the
+        # export lowered (eager pallas_call dispatch on the axon plugin falls
+        # back to the CPU lowering rule and fails outside interpret mode)
+        direct_fn = jax.jit(fn)
         # poly exports verify at two concrete batch sizes; fixed at theirs
         for b in ((2, args.batch_size) if args.poly_batch else (args.batch_size,)):
             concrete = tuple(
                 jnp.zeros(tuple(b if not isinstance(d, int) else d
                                 for d in a.shape), a.dtype)
                 for a in example)
-            direct = np.asarray(fn(*concrete))
+            direct = np.asarray(direct_fn(*concrete))
             replay = np.asarray(loaded_fn(*concrete))
             delta = float(np.abs(direct - replay).max())
             logger.log(f"verify (batch {b}): max|direct - artifact| = {delta:.3e}")
