@@ -135,6 +135,14 @@ def main():
                         ("1", "true", "t", "y"), default=True,
                         help="reload the artifact and check it reproduces "
                              "the direct call on zeros inputs")
+    parser.add_argument("--verify_atol", type=float, default=None,
+                        help="verify tolerance; default scales with the "
+                             "chain length (2e-5 per UNet eval): the export "
+                             "round-trip recompiles the StableHLO, XLA may "
+                             "fuse differently, and per-step bf16 rounding "
+                             "drift compounds over the chain. Integrity "
+                             "bugs (wrong weights/chain) show as O(1) "
+                             "deltas either way.")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -184,6 +192,10 @@ def main():
     if args.verify:
         import jax.numpy as jnp
 
+        n_evals = args.sample_steps or diffusion.num_timesteps
+        atol = args.verify_atol
+        if atol is None:
+            atol = max(1e-5, 2e-5 * n_evals)
         loaded_fn, _ = load_artifact(args.out)
         # jit the direct call: it must go through the same compile path the
         # export lowered (eager pallas_call dispatch on the axon plugin falls
@@ -198,8 +210,9 @@ def main():
             direct = np.asarray(direct_fn(*concrete))
             replay = np.asarray(loaded_fn(*concrete))
             delta = float(np.abs(direct - replay).max())
-            logger.log(f"verify (batch {b}): max|direct - artifact| = {delta:.3e}")
-            if not np.allclose(direct, replay, atol=1e-5):
+            logger.log(f"verify (batch {b}): max|direct - artifact| = "
+                       f"{delta:.3e} (atol {atol:.1e}, {n_evals} UNet evals)")
+            if not np.allclose(direct, replay, atol=atol):
                 raise SystemExit("artifact does not reproduce the direct call")
     print(f"exported {args.fn} -> {args.out}")
 

@@ -32,6 +32,12 @@ def main():
     parser.add_argument("--value", type=float, default=None,
                         help="intervention level (counterfactual artifacts)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="serving batch for POLYMORPHIC artifacts "
+                             "(default: the whole stream in one call; set "
+                             "this to get a steady-state rate from calls "
+                             "after the first). Fixed-batch artifacts "
+                             "dictate their own batch and ignore this.")
     parser.add_argument("--out", default="/tmp/causaldiffae_served.npz")
     args = parser.parse_args()
 
@@ -72,7 +78,9 @@ def main():
     if "value" in by_name and args.value is None:
         raise SystemExit("this artifact takes --value (counterfactual)")
 
-    B = fixed_b or n
+    if args.batch and fixed_b and args.batch != fixed_b:
+        print(f"--batch {args.batch} ignored: artifact is fixed at {fixed_b}")
+    B = fixed_b or min(args.batch or n, n)
     outs, times = [], []
     for lo in range(0, n, B):
         rows = {k: v[lo:lo + B] for k, v in feed.items()}

@@ -167,3 +167,28 @@ def test_serve_cli_runs_artifact_over_stream(ckpt, tmp_path):
     assert report["served"] == 5 and report["batch"] == 2
     arr = np.load(served)["samples"]
     assert arr.shape == (5, 28, 28, 1) and np.isfinite(arr).all()
+
+
+def test_serve_cli_batch_flag_chunks_poly_artifact(ckpt, tmp_path):
+    """--batch chunks a POLYMORPHIC artifact's stream so steady_batch_s is
+    measured from calls after the first (one whole-stream call would fold
+    compile time into the 'steady' rate); fixed-batch artifacts ignore it."""
+    out = str(tmp_path / "recon_poly.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "4", "--poly_batch",
+              "--verify", "false"])
+
+    import serve
+
+    served = str(tmp_path / "served_poly.npz")
+    old = sys.argv
+    sys.argv = ["serve.py", "--artifact", out, "--synthetic", "5",
+                "--batch", "2", "--out", served]
+    try:
+        report = serve.main()
+    finally:
+        sys.argv = old
+
+    assert report["served"] == 5 and report["batch"] == 2
+    arr = np.load(served)["samples"]
+    assert arr.shape == (5, 28, 28, 1) and np.isfinite(arr).all()

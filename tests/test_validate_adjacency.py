@@ -6,10 +6,18 @@ the learnable-A extraction from a real param tree — so the recorded numbers
 stay interpretable.
 """
 
+import sys
+from pathlib import Path
+
 import numpy as np
 import pytest
 
-from scripts.validate_adjacency import learned_A, score
+# import the module directly (like test_serving's `import serve`): parity
+# tests put /root/reference at sys.path[0], whose regular `scripts` package
+# shadows our namespace one, so `from scripts.validate_adjacency import ...`
+# breaks under full-suite collection order.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+from validate_adjacency import learned_A, score
 
 
 def test_score_perfect_recovery():
