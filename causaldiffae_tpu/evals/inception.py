@@ -98,12 +98,15 @@ def inception_features(params: Dict[str, Any], images: jnp.ndarray,
                        feature: int = 64, resize: bool = True) -> jnp.ndarray:
     """[B, H, W, C(1|3)] images in [0, 1] -> [B, feature] pool features."""
     x = images.astype(jnp.float32)
-    if x.shape[-1] == 1:
-        x = jnp.repeat(x, 3, axis=-1)
     if resize:
         # torch F.interpolate(mode='bilinear', align_corners=False) is
-        # half-pixel-center linear resize == jax.image.resize 'bilinear'
-        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+        # half-pixel-center linear resize == jax.image.resize 'bilinear'.
+        # Resize BEFORE the grayscale->RGB repeat: bilinear is channelwise,
+        # so this is identical math at 1/3 the interpolation work.
+        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]),
+                             "bilinear")
+    if x.shape[-1] == 1:
+        x = jnp.repeat(x, 3, axis=-1)
     x = x * 2.0 - 1.0  # pytorch-fid normalize_input: (0,1) -> (-1,1)
     for name, stride, padding in _STEM:
         x = _conv_bn_relu(x, params[name], stride, padding)

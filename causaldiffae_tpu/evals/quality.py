@@ -108,6 +108,14 @@ def inception_feature_fn(weights_path: Optional[str] = None,
             "download pretrained weights); random-init features would give a "
             "meaningless FID. Use classifier_feature_fn instead."
         )
+    try:
+        import torch  # noqa: F401  (load_inception_head needs torch.load)
+    except ImportError as e:
+        raise RuntimeError(
+            "inception FID needs torch to read the weights file; on hosts "
+            "without torch use classifier_feature_fn (trained-trunk FID) "
+            "instead."
+        ) from e
     from .inception import head_feature_fn, load_inception_head
 
     return head_feature_fn(load_inception_head(weights_path, feature=feature),

@@ -81,38 +81,66 @@ def fetch(name: str, out: Path, trust_unpinned: bool, sha_override: str) -> int:
     import urllib.request
 
     spec = DATASETS[name]
+    if sha_override and len(spec["urls"]) > 1:
+        # one digest cannot pin several files; a blanket override would
+        # checksum-reject every file but the one it was computed from
+        print(f"--sha256 is ambiguous for {name} ({len(spec['urls'])} files); "
+              f"pin per-file digests in DATASETS['{name}']['sha256'] instead")
+        return 1
     out.mkdir(parents=True, exist_ok=True)
     for url in spec["urls"]:
         fname = url.rsplit("/", 1)[-1] or f"{name}.bin"
         dest = out / fname
         pinned = sha_override or spec["sha256"].get(fname)
-        if dest.exists() and pinned and sha256_file(dest) == pinned:
-            print(f"{dest}: already present, checksum OK")
-            continue
-        print(f"fetching {url} -> {dest}")
-        try:
-            urllib.request.urlretrieve(url, dest)  # noqa: S310 (pinned below)
-        except Exception as e:
-            print(f"FETCH FAILED ({e}); no egress? Download manually from\n"
-                  f"  {url}\ninto {out} and re-run with --verify-only.")
-            return 1
-        digest = sha256_file(dest)
-        if pinned:
-            if digest != pinned:
-                dest.unlink()
-                print(f"CHECKSUM MISMATCH for {fname}: got {digest}, "
-                      f"want {pinned}; file deleted")
+        have = False
+        if dest.exists():
+            digest = sha256_file(dest)
+            if pinned and digest == pinned:
+                print(f"{dest}: already present, checksum OK")
+                have = True
+            elif pinned:
+                print(f"{dest}: present but checksum differs "
+                      f"(got {digest}, want {pinned}); re-downloading")
+            elif trust_unpinned:
+                print(f"{dest}: present, UNPINNED — sha256 {digest}\n"
+                      f"  pin it in scripts/fetch_data.py DATASETS['{name}']")
+                have = True
+            else:
+                # manual download without a pin: tell the user how to accept
+                # it rather than re-downloading over it
+                print(f"{dest}: present but no pinned sha256; re-run with "
+                      f"--sha256 {digest} (after checking it against the "
+                      f"publisher) or --trust-unpinned")
                 return 1
-            print(f"{fname}: checksum OK")
-        elif trust_unpinned:
-            print(f"{fname}: UNPINNED — sha256 {digest}\n"
-                  f"  pin it in scripts/fetch_data.py DATASETS['{name}']")
-        else:
-            dest.unlink()
-            print(f"{fname}: no pinned sha256 and --trust-unpinned not set; "
-                  f"downloaded bytes DISCARDED (digest was {digest})")
-            return 1
+        if not have:
+            print(f"fetching {url} -> {dest}")
+            try:
+                urllib.request.urlretrieve(url, dest)  # noqa: S310 (pinned below)
+            except Exception as e:
+                print(f"FETCH FAILED ({e}); no egress? Download manually from\n"
+                      f"  {url}\ninto {out} and re-run this same command "
+                      f"(add --sha256 <digest> or --trust-unpinned to accept "
+                      f"the manual file; it will be extracted and verified).")
+                return 1
+            digest = sha256_file(dest)
+            if pinned:
+                if digest != pinned:
+                    dest.unlink()
+                    print(f"CHECKSUM MISMATCH for {fname}: got {digest}, "
+                          f"want {pinned}; file deleted")
+                    return 1
+                print(f"{fname}: checksum OK")
+            elif trust_unpinned:
+                print(f"{fname}: UNPINNED — sha256 {digest}\n"
+                      f"  pin it in scripts/fetch_data.py DATASETS['{name}']")
+            else:
+                dest.unlink()
+                print(f"{fname}: no pinned sha256 and --trust-unpinned not "
+                      f"set; downloaded bytes DISCARDED (digest was {digest})")
+                return 1
         if dest.suffix == ".zip":
+            # always (re-)extract: idempotent, and the archive may be
+            # present from an interrupted run or a manual download
             print(f"extracting {dest}")
             with zipfile.ZipFile(dest) as z:
                 z.extractall(out)

@@ -40,6 +40,8 @@ def main():
                              "dictate their own batch and ignore this.")
     parser.add_argument("--out", default="/tmp/causaldiffae_served.npz")
     args = parser.parse_args()
+    if args.batch is not None and args.batch < 1:
+        raise SystemExit(f"--batch {args.batch}: must be >= 1")
 
     import jax
     import jax.numpy as jnp

@@ -80,3 +80,62 @@ def test_real_archive_trains(name):
     for _ in range(2):
         state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---- fetch_data.py unit tests (no archives or egress needed) ----
+
+@pytest.fixture
+def fake_dataset(tmp_path, monkeypatch):
+    """A fabricated one-zip dataset entry in fetch_data.DATASETS."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import fetch_data as fd
+
+    import zipfile
+
+    out = tmp_path / "data"
+    out.mkdir()
+    z = out / "fake.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        f.writestr("member.txt", "hello")
+    monkeypatch.setitem(fd.DATASETS, "faketest", {
+        # unroutable port: any attempted download fails fast
+        "urls": ["http://127.0.0.1:1/fake.zip"],
+        "sha256": {},
+        "layout": ["member.txt"],
+    })
+    return fd, out, z, fd.sha256_file(z)
+
+
+def test_fetch_present_unpinned_is_actionable_not_redownload(fake_dataset, capsys):
+    fd, out, z, digest = fake_dataset
+    rc = fd.fetch("faketest", out, trust_unpinned=False, sha_override="")
+    msg = capsys.readouterr().out
+    assert rc == 1 and digest in msg and "--trust-unpinned" in msg
+    assert z.exists()  # the manual download is not clobbered or deleted
+
+
+def test_fetch_extracts_already_present_archive(fake_dataset):
+    """A checksum-OK archive from a manual download or interrupted run must
+    still be extracted (the old flow `continue`d straight past extraction,
+    so verify() failed on a perfectly good zip)."""
+    fd, out, z, digest = fake_dataset
+    member = out / "member.txt"
+    assert not member.exists()
+    rc = fd.fetch("faketest", out, trust_unpinned=False, sha_override=digest)
+    assert rc == 0 and member.exists()
+
+
+def test_fetch_trust_unpinned_accepts_present_archive(fake_dataset):
+    fd, out, z, _ = fake_dataset
+    rc = fd.fetch("faketest", out, trust_unpinned=True, sha_override="")
+    assert rc == 0 and (out / "member.txt").exists()
+
+
+def test_fetch_sha_override_rejected_for_multifile_dataset(fake_dataset, capsys):
+    fd, out, z, digest = fake_dataset
+    fd.DATASETS["faketest"]["urls"] = list(fd.DATASETS["faketest"]["urls"]) + [
+        "http://127.0.0.1:1/other.zip"]
+    rc = fd.fetch("faketest", out, trust_unpinned=False, sha_override=digest)
+    assert rc == 1 and "ambiguous" in capsys.readouterr().out

@@ -192,3 +192,18 @@ def test_serve_cli_batch_flag_chunks_poly_artifact(ckpt, tmp_path):
     assert report["served"] == 5 and report["batch"] == 2
     arr = np.load(served)["samples"]
     assert arr.shape == (5, 28, 28, 1) and np.isfinite(arr).all()
+
+
+def test_serve_cli_rejects_nonpositive_batch():
+    """--batch < 1 must fail fast (before artifact load): a negative B
+    would silently produce an empty serving loop and a confusing
+    np.concatenate crash."""
+    import serve
+
+    old = sys.argv
+    sys.argv = ["serve.py", "--artifact", "/nonexistent.shlo", "--batch", "0"]
+    try:
+        with pytest.raises(SystemExit, match="must be >= 1"):
+            serve.main()
+    finally:
+        sys.argv = old
