@@ -252,8 +252,11 @@ def bench_primary(preset: str) -> dict:
             (sample_batch, cfg.image_size, cfg.image_size, cfg.in_channels))
         out = sample(noise, jax.random.PRNGKey(2))
         jax.block_until_ready(out)
+        # short chains (dpm++ 25) finish in ~60-100 ms, where per-dispatch
+        # jitter through the axon tunnel is tens of ms — average more of
+        # them so the key is stable run to run (RESULTS.md "Fast serving")
+        n_chains = 10 if dpm_steps is not None else 3
         t0 = time.time()
-        n_chains = 3
         for i in range(n_chains):
             out = sample(noise, jax.random.PRNGKey(3 + i))
         jax.block_until_ready(out)
