@@ -31,7 +31,8 @@ import numpy as np
 __all__ = ["torch_state_dict_to_numpy", "port_torch_state_dict",
            "load_torch_checkpoint", "export_torch_state_dict",
            "save_torch_checkpoint", "port_classifier_state_dict",
-           "load_torch_classifier"]
+           "load_torch_classifier", "export_classifier_state_dict",
+           "save_torch_classifier"]
 
 
 def torch_state_dict_to_numpy(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
@@ -416,4 +417,55 @@ def save_torch_checkpoint(cfg, variables: Mapping[str, Any], path: str) -> None:
 
     sd = export_torch_state_dict(cfg, variables)
     # copy=True: jax buffers surface as non-writable numpy views
+    torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}, path)
+
+
+def export_classifier_state_dict(variables: Mapping[str, Any],
+                                 latent_dim: int = 512) -> Dict[str, np.ndarray]:
+    """Inverse of `port_classifier_state_dict`: write a flax
+    `models.encoder.GaussianConvEncoderClf` back out under the reference's
+    torch `GaussianConvEncoderClf` state_dict keys (`nn.py:115-220`), so
+    probes trained HERE satisfy the reference eval scripts'
+    ``clf.load_state_dict(th.load('classifier_<factor>_best.pth'))``
+    (`image_causaldae_test.py:134-141`).
+
+    The torch module's ``fc_mu``/``fc_var`` heads are dead weight in its
+    ``forward`` (`nn.py:214-220`) and have no flax counterpart; strict
+    loading still requires the keys, so they are emitted as zeros with the
+    reference trainers' ``latent_dim`` (512, `classifiers.py:114-119`).
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    trunk_p = params["trunk"]
+    trunk_s = batch_stats["trunk"]
+    sd: Dict[str, np.ndarray] = {}
+    n_convs = sum(1 for k in trunk_p if k.startswith("Conv3x3_"))
+    ch = None
+    for i in range(n_convs):
+        _ex_conv2d(sd, f"encoder.{i}.0", trunk_p[f"Conv3x3_{i}"]["Conv_0"])
+        _ex_norm(sd, f"encoder.{i}.1", trunk_p[f"BatchNorm_{i}"])
+        s = trunk_s[f"BatchNorm_{i}"]
+        sd[f"encoder.{i}.1.running_mean"] = _np(s["mean"])
+        sd[f"encoder.{i}.1.running_var"] = _np(s["var"])
+        sd[f"encoder.{i}.1.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+        ch = sd[f"encoder.{i}.0.weight"].shape[0]
+    # the head reads the flattened trunk output; recover the spatial extent
+    # from the Dense input dim instead of asking for image_size
+    fc_p = params["fc"]["Dense_0"]
+    flat = np.asarray(fc_p["kernel"]).shape[0]
+    spatial = int(round((flat // ch) ** 0.5))
+    assert spatial * spatial * ch == flat, (flat, ch)
+    _ex_flatten_perm_linear(sd, "fc", fc_p, ch, spatial)
+    for head in ("fc_mu", "fc_var"):
+        sd[f"{head}.weight"] = np.zeros((latent_dim, flat), dtype=np.float32)
+        sd[f"{head}.bias"] = np.zeros((latent_dim,), dtype=np.float32)
+    return sd
+
+
+def save_torch_classifier(variables: Mapping[str, Any], path: str,
+                          latent_dim: int = 512) -> None:
+    """Save a flax probe as a reference-loadable ``classifier_*_best.pth``."""
+    import torch
+
+    sd = export_classifier_state_dict(variables, latent_dim=latent_dim)
     torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}, path)
