@@ -126,6 +126,13 @@ def main():
                         help="export the batch dimension symbolically: one "
                              "artifact serves any batch size (forces the XLA "
                              "attention path; not available for --fn prior)")
+    parser.add_argument("--aot", action="store_true",
+                        help="also write a serialized COMPILED executable "
+                             "(<out>.xc) next to the artifact; serve.py "
+                             "loads it when the platform matches and skips "
+                             "the minutes-long first-call recompile. "
+                             "Platform/device-count specific; requires a "
+                             "fixed batch (not --poly_batch).")
     parser.add_argument("--use_ema", action="store_true")
     parser.add_argument("--use_pallas", type=lambda s: s.lower() in
                         ("1", "true", "t", "y"), default=None,
@@ -188,6 +195,19 @@ def main():
     })
     logger.log(f"wrote {args.out} ({manifest['bytes']} bytes, "
                f"platforms {manifest['platforms']})")
+
+    if args.aot:
+        if args.poly_batch:
+            raise SystemExit("--aot needs concrete shapes; drop --poly_batch")
+        from causaldiffae_tpu.serving import (
+            COMPILED_SUFFIX,
+            export_compiled_artifact,
+        )
+
+        xc_path = args.out + COMPILED_SUFFIX
+        nbytes = export_compiled_artifact(fn, example, xc_path)
+        logger.log(f"wrote compiled executable {xc_path} ({nbytes} bytes, "
+                   f"platform {jax.default_backend()})")
 
     if args.verify:
         import jax.numpy as jnp

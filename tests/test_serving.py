@@ -194,6 +194,105 @@ def test_serve_cli_batch_flag_chunks_poly_artifact(ckpt, tmp_path):
     assert arr.shape == (5, 28, 28, 1) and np.isfinite(arr).all()
 
 
+def test_aot_compiled_artifact_serves_without_recompile(ckpt, tmp_path):
+    """--aot writes a serialized COMPILED executable next to the .shlo;
+    serve.py prefers it (report['aot']) and produces the same stream as the
+    recompile path (same seeds; fusion-level float drift only)."""
+    out = str(tmp_path / "recon_aot.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "2",
+              "--use_pallas", "false", "--verify", "false", "--aot"])
+    assert Path(out + ".xc").exists()
+
+    import serve
+
+    def run(extra, dest):
+        old = sys.argv
+        sys.argv = ["serve.py", "--artifact", out, "--synthetic", "4",
+                    "--out", dest] + extra
+        try:
+            return serve.main()
+        finally:
+            sys.argv = old
+
+    r_aot = run([], str(tmp_path / "aot.npz"))
+    r_cold = run(["--no_aot"], str(tmp_path / "cold.npz"))
+    assert r_aot["aot"] is True and r_cold["aot"] is False
+    a = np.load(tmp_path / "aot.npz")["samples"]
+    b = np.load(tmp_path / "cold.npz")["samples"]
+    assert a.shape == (4, 28, 28, 1) and np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_aot_platform_mismatch_falls_back(ckpt, tmp_path):
+    """A .xc compiled for another platform must be skipped, not crash: the
+    portable .shlo is the fallback."""
+    import pickle
+
+    out = str(tmp_path / "recon_fb.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "2",
+              "--use_pallas", "false", "--verify", "false"])
+    Path(out + ".xc").write_bytes(pickle.dumps(
+        {"payload": b"", "in_tree": None, "out_tree": None,
+         "platform": "tpu", "n_devices": 8}))
+
+    import serve
+
+    old = sys.argv
+    sys.argv = ["serve.py", "--artifact", out, "--synthetic", "3",
+                "--out", str(tmp_path / "fb.npz")]
+    try:
+        report = serve.main()
+    finally:
+        sys.argv = old
+    assert report["aot"] is False and report["served"] == 3
+
+
+def test_serve_cli_no_pipeline_and_p50(ckpt, tmp_path):
+    """--no_pipeline serves strictly sequentially (ADVICE r4: lower peak
+    memory escape hatch) and the report carries the straggler-robust p50."""
+    out = str(tmp_path / "recon_np.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "2",
+              "--use_pallas", "false", "--verify", "false"])
+
+    import serve
+
+    old = sys.argv
+    sys.argv = ["serve.py", "--artifact", out, "--synthetic", "6",
+                "--no_pipeline", "--out", str(tmp_path / "np.npz")]
+    try:
+        report = serve.main()
+    finally:
+        sys.argv = old
+    assert report["pipelined"] is False
+    assert report["steady_batch_p50_s"] > 0
+    assert np.load(tmp_path / "np.npz")["samples"].shape == (6, 28, 28, 1)
+
+
+def test_serve_cli_rejects_empty_input(ckpt, tmp_path):
+    """A zero-row .npz must fail with a clear message, not IndexError
+    (ADVICE r4)."""
+    out = str(tmp_path / "recon_e.shlo")
+    _run_cli(["--preset", "serving_tiny", "--ckpt_dir", ckpt, "--out", out,
+              "--fn", "reconstruct", "--batch_size", "2",
+              "--use_pallas", "false", "--verify", "false"])
+    empty = str(tmp_path / "empty.npz")
+    np.savez(empty, x=np.zeros((0, 28, 28, 1), np.float32),
+             y=np.zeros((0,), np.int32))
+
+    import serve
+
+    old = sys.argv
+    sys.argv = ["serve.py", "--artifact", out, "--input", empty]
+    try:
+        with pytest.raises(SystemExit, match="empty"):
+            serve.main()
+    finally:
+        sys.argv = old
+
+
 def test_serve_cli_rejects_nonpositive_batch():
     """--batch < 1 must fail fast (before artifact load): a negative B
     would silently produce an empty serving loop and a confusing
