@@ -26,7 +26,16 @@ VAR_NAMES = {
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", required=True, choices=list(N_VARS))
-    parser.add_argument("--factor", type=int, required=True)
+    parser.add_argument("--factor", type=int, required=True,
+                        help="factor index; -1 trains every factor (the "
+                             "fused whole-fit scan compiles once per shape, "
+                             "so one process is much cheaper than N)")
+    parser.add_argument("--seeds", type=int, nargs="+", default=None,
+                        help="train a probe ENSEMBLE: one member per seed, "
+                             "saved as classifier_<ds>_<var>_seed<k>.pkl. "
+                             "rescore_counterfactuals.py picks the ensemble "
+                             "up automatically and reports per-probe MAE + "
+                             "spread (the instrument's error bar)")
     parser.add_argument("--data_dir", default="")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--epochs", type=int, default=100)
@@ -55,13 +64,22 @@ def main():
         train = loaders[args.dataset]("train")
         val = loaders[args.dataset]("test")
 
-    trainer = ClassifierTrainer(args.dataset, args.factor, N_VARS[args.dataset],
-                                lr=args.lr, seed=args.seed)
-    trainer.fit(train, val, epochs=args.epochs, batch_size=args.batch_size)
-    name = VAR_NAMES[args.dataset][args.factor]
-    path = os.path.join(args.out_dir, f"classifier_{args.dataset}_{name}.pkl")
-    trainer.save_best(path)
-    logger.log(f"saved best (val {trainer.best_val:.5f}) -> {path}")
+    factors = (range(N_VARS[args.dataset]) if args.factor < 0
+               else [args.factor])
+    seeds = args.seeds if args.seeds else [args.seed]
+    for factor in factors:
+        for seed in seeds:
+            trainer = ClassifierTrainer(args.dataset, factor,
+                                        N_VARS[args.dataset],
+                                        lr=args.lr, seed=seed)
+            trainer.fit(train, val, epochs=args.epochs,
+                        batch_size=args.batch_size)
+            name = VAR_NAMES[args.dataset][factor]
+            suffix = f"_seed{seed}" if args.seeds else ""
+            path = os.path.join(
+                args.out_dir, f"classifier_{args.dataset}_{name}{suffix}.pkl")
+            trainer.save_best(path)
+            logger.log(f"saved best (val {trainer.best_val:.5f}) -> {path}")
 
 
 if __name__ == "__main__":

@@ -95,12 +95,33 @@ def main():
                                   seed=args.seed + 99)
     n_batches = max(args.num_samples // args.batch_size, 1)
 
-    predictors = []
+    # per factor: a single probe (classifier_<ds>_<var>.pkl) and/or an
+    # ensemble (classifier_<ds>_<var>_seed<k>.pkl from classifier_train.py
+    # --seeds). With an ensemble, every run is scored by EVERY member and
+    # the report carries per-probe columns + the spread — the instrument's
+    # error bar (RESULTS.md: probe retrains move MAE by ~0.1 on generated
+    # images, the same order as the effects the tables adjudicate).
+    import glob as _glob
+
+    predictors = []  # per factor: list of (label, predict_fn)
     for f, name in enumerate(names):
-        path = os.path.join(args.classifier_dir,
-                            f"classifier_{dataset}_{name}.pkl")
-        m, v, _ = load_classifier(path, cfg.n_vars)
-        predictors.append(classifier_predict_fn(m, v))
+        paths = sorted(
+            _glob.glob(os.path.join(args.classifier_dir,
+                                    f"classifier_{dataset}_{name}_seed*.pkl")))
+        single = os.path.join(args.classifier_dir,
+                              f"classifier_{dataset}_{name}.pkl")
+        if os.path.exists(single):
+            paths.insert(0, single)
+        if not paths:
+            raise SystemExit(f"no classifier pickles for factor {name!r} "
+                             f"in {args.classifier_dir}")
+        members = []
+        for p in paths:
+            m, v, _ = load_classifier(p, cfg.n_vars)
+            stem = os.path.basename(p)[:-len(".pkl")]
+            label = stem.split("_seed")[-1] if "_seed" in stem else "0"
+            members.append((label, classifier_predict_fn(m, v)))
+        predictors.append(members)
 
     # replay the eval's RandomState stream: one probe_sel randint (the
     # recon/traversal probe batch) first, then per batch one randint draw
@@ -124,7 +145,8 @@ def main():
         plan.append((var_idx, name, batches))
 
     for run_dir in args.runs:
-        mae = {name: [] for name in names}
+        # mae[factor][probe_label] -> list of per-batch MAEs
+        mae = {name: {} for name in names}
         for var_idx, name, batches in plan:
             path = os.path.join(run_dir, f"samples_do_{name}.npz")
             archive = np.load(path)
@@ -136,11 +158,21 @@ def main():
             for b, (sel, gt_norm) in enumerate(batches):
                 chunk = samples[b * args.batch_size:(b + 1) * args.batch_size]
                 x = jnp.asarray(np.clip(chunk, 0, 1))
-                for f, pred in enumerate(predictors):
-                    out = np.asarray(pred(x))
-                    mae[names[f]].append(np.abs(out - gt_norm[:, f]).mean())
+                for f, members in enumerate(predictors):
+                    for label, pred in members:
+                        out = np.asarray(pred(x))
+                        mae[names[f]].setdefault(label, []).append(
+                            np.abs(out - gt_norm[:, f]).mean())
         result = {"run": run_dir}
-        result.update({f"mae_{k}": float(np.mean(v)) for k, v in mae.items() if v})
+        for k, by_probe in mae.items():
+            if not by_probe:
+                continue
+            per = {lbl: float(np.mean(v)) for lbl, v in by_probe.items()}
+            vals = list(per.values())
+            result[f"mae_{k}"] = float(np.mean(vals))
+            if len(per) > 1:
+                result[f"mae_{k}_probes"] = per
+                result[f"mae_{k}_spread"] = float(np.max(vals) - np.min(vals))
         print(json.dumps(result))
 
 

@@ -433,3 +433,56 @@ def test_rescore_replay_stamp_guard(tmp_path):
     with pytest.raises(SystemExit):  # row-count mismatch
         check_replay_stamps(archive(**ok), "a.npz",
                             **{**kw, "n_rows_expected": 48})
+
+
+def test_rescore_probe_ensemble_columns(tmp_path, capsys):
+    """classifier_train --seeds trains an ensemble; rescore picks it up and
+    reports per-probe MAE + spread (the MAE instrument's error bar,
+    VERDICT r4 item 3)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import classifier_train
+    import rescore_counterfactuals
+
+    clf_dir = tmp_path / "clf"
+    old = sys.argv
+    sys.argv = ["classifier_train.py", "--dataset", "morphomnist",
+                "--factor", "-1", "--seeds", "0", "1", "--epochs", "1",
+                "--pool", "64", "--synthetic", "--out_dir", str(clf_dir)]
+    try:
+        classifier_train.main()
+    finally:
+        sys.argv = old
+    made = sorted(p.name for p in clf_dir.iterdir())
+    assert made == ["classifier_morphomnist_intensity_seed0.pkl",
+                    "classifier_morphomnist_intensity_seed1.pkl",
+                    "classifier_morphomnist_thickness_seed0.pkl",
+                    "classifier_morphomnist_thickness_seed1.pkl"]
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("thickness", "intensity"):
+        np.savez(run_dir / f"samples_do_{name}.npz",
+                 samples=rng.rand(8, 28, 28, 1).astype(np.float32),
+                 seed=0, batch_size=4, num_samples=8, process_count=1,
+                 synthetic_pool=1)
+
+    sys.argv = ["rescore_counterfactuals.py", "--preset",
+                "morphomnist_causaldae", "--classifier_dir", str(clf_dir),
+                "--runs", str(run_dir), "--num_samples", "8",
+                "--batch_size", "4"]
+    try:
+        rescore_counterfactuals.main()
+    finally:
+        sys.argv = old
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    result = json.loads(line)
+    for factor in ("thickness", "intensity"):
+        assert np.isfinite(result[f"mae_{factor}"])
+        assert set(result[f"mae_{factor}_probes"]) == {"0", "1"}
+        assert result[f"mae_{factor}_spread"] >= 0
