@@ -179,6 +179,18 @@ def make_train_step(cfg, model, diffusion: GaussianDiffusion, tx: optax.Gradient
             metrics["kld_rep"] = jnp.mean(terms["kld_rep"])
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"] * weights)
+        if sampler_state is not None:
+            # observability for the loss-aware sampler's in-graph warm-up ->
+            # weighted transition (reference resample.py:137-144 gates on
+            # every term having a full ring history): warmed flips 0->1 the
+            # step the last timestep fills, warmup_frac tracks progress.
+            hpt = sampler_state["history"].shape[1]
+            metrics["sampler_warmed"] = jnp.all(
+                sampler_state["counts"] == hpt
+            ).astype(jnp.float32)
+            metrics["sampler_warmup_frac"] = jnp.mean(
+                sampler_state["counts"] / hpt
+            )
         for key in ("loss", "mse"):
             if key not in terms:
                 continue

@@ -101,8 +101,15 @@ def test_loss_second_moment_sampler_state_updates():
     assert state.sampler_state is not None
     counts0 = int(state.sampler_state["counts"].sum())
     batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-    state, _ = jax.jit(step_fn)(state, batch)
+    state, metrics = jax.jit(step_fn)(state, batch)
     assert int(state.sampler_state["counts"].sum()) == counts0 + cfg.batch_size
+    # warm-up observability: far from warmed on step 1, and the progress
+    # fraction matches the ring-history fill exactly
+    assert float(metrics["sampler_warmed"]) == 0.0
+    hpt = state.sampler_state["history"].shape[1]
+    expect = float(np.mean(np.asarray(state.sampler_state["counts"]) / hpt))
+    np.testing.assert_allclose(float(metrics["sampler_warmup_frac"]), expect,
+                               rtol=1e-6)
 
 
 def test_data_parallel_mesh_step_matches_single_device():
