@@ -50,12 +50,22 @@ class HumanOutputFormat(KVWriter):
     """Boxed key | value table (reference `logger.py:36-80`)."""
 
     def __init__(self, filename_or_file):
+        self._file = None  # None = late-bind to the CURRENT sys.stdout
         if isinstance(filename_or_file, str):
-            self.file = open(filename_or_file, "at")
+            self._file = open(filename_or_file, "at")
             self.own_file = True
         else:
-            self.file = filename_or_file
+            # "stdout" must mean the stdout of the moment, not the object at
+            # configure() time: under pytest's capture, sys.stdout is a
+            # per-test file that gets CLOSED at test end, and a module-global
+            # Logger holding it poisons every later log() call.
+            if filename_or_file is not sys.stdout:
+                self._file = filename_or_file
             self.own_file = False
+
+    @property
+    def file(self):
+        return sys.stdout if self._file is None else self._file
 
     def writekvs(self, kvs):
         key2str = {}
