@@ -87,6 +87,12 @@ def install_reference_shims():
         mpi.MPI = types.SimpleNamespace(COMM_WORLD=_Comm())
         sys.modules["mpi4py"] = mpi
 
+    # repair an already-imported dist_util whose cached MPI object came from
+    # a non-functional stub (e.g. a prior test in the same process)
+    du = sys.modules.get("improved_diffusion.dist_util")
+    if du is not None and getattr(getattr(du, "MPI", None), "COMM_WORLD", None) is None:
+        du.MPI = sys.modules["mpi4py"].MPI
+
     if "blobfile" not in sys.modules:
         bf = types.ModuleType("blobfile")
         bf.basename = os.path.basename
@@ -138,7 +144,13 @@ def _install_torchvision_stub():
     implementation so the reference's grids land on disk for inspection."""
     import importlib.util
 
-    if importlib.util.find_spec("torchvision") is not None:
+    try:
+        spec = importlib.util.find_spec("torchvision")
+    except ValueError:
+        # a bare stub (no __spec__) is already in sys.modules — e.g.
+        # test_diffusion_branches' train_util import shim; augment it below
+        spec = None
+    if spec is not None:
         import torchvision  # noqa: F401
 
         return

@@ -279,25 +279,35 @@ def test_create_diffusion_flag_wiring():
 def test_kl_anneal_parity_vs_reference_scheduler():
     # train_util imports blobfile/mpi4py/torchvision, none installed here;
     # stub just enough to import the module and call the pure scheduler.
-    for name, attrs in [
-        ("blobfile", {}),
-        ("mpi4py", {"MPI": types.SimpleNamespace(COMM_WORLD=None)}),
-        ("torchvision", {}),
-        ("torchvision.utils", {"save_image": lambda *a, **k: None}),
-    ]:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    # FUNCTIONAL stubs, not empty ones: improved_diffusion modules cache
+    # `bf`/`MPI` objects at import, so whatever stub imports them first must
+    # survive reuse by later tests (tests/test_reference_eval.py shares the
+    # process). Use the cross-stack harness's canonical shim installer.
+    import importlib.util as _ilu
+    from pathlib import Path as _Path
 
-    from improved_diffusion.train_util import TrainLoop
+    _spec = _ilu.spec_from_file_location(
+        "cdae_reference_eval_shims",
+        str(_Path(__file__).resolve().parent.parent / "scripts"
+            / "reference_eval.py"))
+    _harness = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_harness)
+    before = set(sys.modules)
+    _harness.install_reference_shims()
+    installed = [m for m in sys.modules if m not in before]
 
-    from causaldiffae_tpu.training import kl_weight_for_step
+    try:
+        from improved_diffusion.train_util import TrainLoop
 
-    total = 50_000
-    for step in (0, 1, 7, 123, 25_000, 49_998, 49_999, 50_000, 61_234):
-        exp = TrainLoop.linear_kl_weight_scheduler(None, step, total, 0.0, 1.0)
-        got = float(kl_weight_for_step(jnp.asarray(step), total))
-        np.testing.assert_allclose(got, exp, atol=1e-7, err_msg=f"step={step}")
+        from causaldiffae_tpu.training import kl_weight_for_step
+
+        total = 50_000
+        for step in (0, 1, 7, 123, 25_000, 49_998, 49_999, 50_000, 61_234):
+            exp = TrainLoop.linear_kl_weight_scheduler(None, step, total, 0.0, 1.0)
+            got = float(kl_weight_for_step(jnp.asarray(step), total))
+            np.testing.assert_allclose(got, exp, atol=1e-7, err_msg=f"step={step}")
+    finally:
+        # bare stubs (no __spec__) poison later importlib.util.find_spec
+        # calls and fake out 'is torchvision present' gates in other tests
+        for name in installed:
+            sys.modules.pop(name, None)
