@@ -71,8 +71,12 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     variables, put, _ = eval_placement(variables, args.batch_size)
 
+    # `variables` rides as a jit ARGUMENT (the eval-CLI convention), never a
+    # closure: closed-over param trees get baked into the lowered module as
+    # constants, and the big-UNet configs (circuit/pendulum) then exceed the
+    # axon remote-compile endpoint's request-body limit (HTTP 413)
     @jax.jit
-    def bpd(x, cond_y, cond_c, z, rng):
+    def bpd(variables, x, cond_y, cond_c, z, rng):
         def model_fn(xx, tt):
             return model.apply(
                 variables, xx, tt,
@@ -85,7 +89,7 @@ def main():
                              clip_denoised=args.clip_denoised)
 
     @jax.jit
-    def encode_z(x, rng):
+    def encode_z(variables, x, rng):
         mu, _ = model.apply(variables, x, train=False, method=CausalUNet.encode)
         z_post = (model.apply(variables, mu, method=CausalUNet.causalize)
                   if cfg.causal_modeling else mu)
@@ -104,8 +108,9 @@ def main():
         x = put(pool["image"][idx])
         y = put(pool["y"][idx]) if "y" in pool else None
         c = put(pool["c"][idx]) if "c" in pool else None
-        z = encode_z(x, jax.random.PRNGKey(1234 + i)) if cfg.rep_cond else None
-        out = bpd(x, y, c, z, jax.random.fold_in(
+        z = (encode_z(variables, x, jax.random.PRNGKey(1234 + i))
+             if cfg.rep_cond else None)
+        out = bpd(variables, x, y, c, z, jax.random.fold_in(
             jax.random.PRNGKey(args.seed + i), jax.process_index()))
         all_bpd.append(np.asarray(out["total_bpd"]))
         for k in all_metrics:
