@@ -303,16 +303,17 @@ def test_classifier_trunk_fid_features():
 
 
 def test_inception_feature_fn_gated():
-    """No torchvision in this image -> must raise the documented error."""
+    """No weights file -> must raise the documented error (round 4 moved
+    the gate from torchvision-import to weights-file: `evals/inception.py`
+    ports the head from a local state dict and needs no torchvision; this
+    test was previously masked by a leftover torchvision stub from another
+    test making the old import-gate skip)."""
     from causaldiffae_tpu.evals.quality import inception_feature_fn
 
-    try:
-        import torchvision  # noqa: F401
-        pytest.skip("torchvision present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(RuntimeError, match="torchvision"):
+    with pytest.raises(RuntimeError, match="weights file"):
         inception_feature_fn()
+    with pytest.raises(RuntimeError, match="weights file"):
+        inception_feature_fn(weights_path="")
 
 
 def test_pendulum_effect_ranges_defined():
